@@ -1,0 +1,91 @@
+"""Render configuration.
+
+One declarative config replaces the reference's two-tier compile-time
+`#define` flags (BHRayTracer/Main.cpp:41,52-53,127-141; MtlBlinn.cpp:10-29;
+TriObj.cpp:2-6) — every reference constant becomes a runtime field here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) renderer configuration.
+
+    Defaults mirror the reference build's compiled-in constants.
+    """
+
+    # Samples per pixel (reference: PT_SampleCount 32, Main.cpp:141).
+    spp: int = 32
+    # Reflect/refract (TIR) bounce budget (INTERNAL_REFLECTION_BOUNCE 16,
+    # Main.cpp:41). Decremented only on total internal reflection, matching
+    # RefractionRecusive (MtlBlinn.cpp:476-519).
+    tir_bounces: int = 16
+    # GI bounce budget (GIBounceCount 3, Main.cpp:130).
+    gi_bounces: int = 3
+    # Extra shade-tree levels past the GI budget where refraction chains may
+    # still continue. The reference's recursion is *unbounded* here (a latent
+    # stack-overflow bug: RefractionRecusive only decrements bounceCount on
+    # TIR); we bound total tree depth at gi_bounces + 1 + extra_refr_levels.
+    extra_refr_levels: int = 2
+    # Gamma correction (USE_GamaCorrection, Main.cpp:220-227).
+    gamma: float = 2.2
+    use_gamma: bool = True
+    # Shading biases (MtlBlinn.cpp:10, GenLight.cpp:5).
+    bias: float = 1e-4
+    shadow_bias: float = 1e-5
+    # Texture filtering taps (TEXTURE_SAMPLE_COUNT 32, scene.h:18).
+    texture_sample_count: int = 32
+    # Glossy-refraction rejection-sampling tries. The reference loops until a
+    # sample lands on the correct hemisphere (MtlBlinn.cpp:454-465); a
+    # data-dependent loop is hostile to XLA so we take a fixed number of
+    # tries and fall back to the perfect refraction direction.
+    refr_gloss_tries: int = 4
+    # Replicate the reference's plane-shadow bug (ShadowRayRecursive tests
+    # the [-1,1] extent on the *untransformed* ray's point, GenLight.cpp:37;
+    # golden images were rendered with this bug). False = correct behavior.
+    parity_plane_shadow_bug: bool = False
+    # Rays processed per device dispatch (memory knob; the shade tree
+    # multiplies live state by ~sum(2^level)).
+    chunk_rays: int = 16384
+    # Number of photons for the caustic photon map build
+    # (MAX_CausticPhotonCount 1000000, Main.cpp:53).
+    photon_count: int = 1 << 20
+    # Photon gather: k-NN cap and max search radius
+    # (MAX_PhotonCountInArea 1000 / MAX_Area 0.5, MtlBlinn.cpp:28-29).
+    photon_gather_max: int = 1000
+    photon_gather_radius: float = 0.5
+    # Russian-roulette absorb chance for photon bounces
+    # (Photon_AbsorbChance 0.3, MtlBlinn.cpp:27).
+    photon_absorb_chance: float = 0.3
+    # Enable the caustic photon map gather in direct shading
+    # (USE_PhotonMap, Main.cpp:51 — off by default in the reference too).
+    use_photon_map: bool = False
+    # Apply the learned denoiser head after rendering (replaces OIDN,
+    # Main.cpp:57-95).
+    use_denoiser: bool = False
+    # Differentiable mode: the refraction/TIR chain runs as a fixed-length
+    # lax.scan (reverse-mode AD cannot cross lax.while_loop). Inference keeps
+    # the early-exiting while_loop. Set True for inverse rendering; pick a
+    # small tir_bounces (the scan always pays max iterations).
+    differentiable: bool = False
+
+    @property
+    def max_levels(self) -> int:
+        """Total shade-tree depth (levels 0..max_levels-1 are shaded)."""
+        return self.gi_bounces + 1 + self.extra_refr_levels
+
+    def level_width(self, level: int) -> int:
+        """Task-count multiplier at a tree level, per camera ray.
+
+        Levels 0..gi_bounces+1 double (each task spawns a refraction child
+        and a GI child); deeper levels spawn refraction children only
+        (GI is cut once the budget goes negative: MtlBlinn.cpp:386).
+        """
+        return 1 << min(level, self.gi_bounces + 1)
+
+    def gi_active(self, level: int) -> bool:
+        """GI runs while the remaining budget gi_bounces - level >= 0."""
+        return self.gi_bounces - level >= 0

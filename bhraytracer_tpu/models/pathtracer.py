@@ -1,0 +1,660 @@
+"""The wavefront path-tracing integrator (flagship model).
+
+TPU re-architecture of the reference's recursive shading megakernel
+(MtlBlinn::Shade, MtlBlinn.cpp:89-138, plus its mutual recursion with
+`recursive`/RefractionRecusive): a *bounded-depth tree wavefront*.
+
+Per camera sample, the reference's Shade call tree has branching factor <= 2
+(one refraction child, one GI child — direct lighting is a leaf term). We
+expand that tree level-synchronously: level l is a flat SoA batch of shade
+tasks (rays + bounce budgets); `_shade_level` traces all tasks, computes the
+direct-light term, runs the refraction/TIR chain (an inner while_loop of
+FRONT_AND_BACK traces, replacing RefractionRecusive's recursion), samples the
+GI lobe, and emits the next level's tasks. A backward sweep then combines
+radiance bottom-up, reproducing the reference's per-stage clamp-to-white and
+early-out-at-saturation semantics exactly (MtlBlinn.cpp:79-83, 118-131).
+
+RNG is stateless threefry keyed by (chunk, level, purpose, lane) — replacing
+the reference's OpenMP-racy rand() (MtlBlinn.cpp:42-49).
+
+Deliberate deviations from the reference, all documented:
+  - tree depth is capped at cfg.max_levels (the reference's refraction
+    recursion is unbounded — a latent stack overflow);
+  - glossy-refraction rejection sampling uses a fixed try count;
+  - the plane-shadow frame bug is opt-in (cfg.parity_plane_shadow_bug).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bhraytracer_tpu.config import RenderConfig
+from bhraytracer_tpu.ops.camera import CameraParams, camera_basis, from_scene_camera, gen_rays
+from bhraytracer_tpu.ops.linalg import (
+    BIG,
+    acos_safe,
+    cross,
+    dot,
+    norm,
+    normalize,
+    safe_div,
+    safe_sqrt,
+)
+from bhraytracer_tpu.ops.sampling import (
+    crossing_vector,
+    sample_along_light_direction,
+    sample_along_normal,
+    sample_in_semisphere,
+)
+from bhraytracer_tpu.ops.texturing import (
+    sample_background,
+    sample_environment,
+    textured_color,
+)
+from bhraytracer_tpu.ops.trace import Surface, resolve_hit, trace_closest, trace_shadow
+
+NAN_PURPLE = jnp.array([1.0, 0.0, 1.0])  # Color::NANPurple (cyColor.h:130)
+
+
+def _clamp_white(c):
+    """ClampColorToWhite (MtlBlinn.cpp:79-83): per-channel min with 1."""
+    return jnp.minimum(c, 1.0)
+
+
+def _uni(key, tag: int, shape):
+    return jax.random.uniform(jax.random.fold_in(key, tag), shape)
+
+
+class LevelRecord(NamedTuple):
+    """Per-task values saved at each tree level for the backward combine."""
+
+    active: jnp.ndarray  # (N,) task holds a real ray
+    hit: jnp.ndarray  # (N,)
+    z: jnp.ndarray  # (N,) hit parameter (world-scale for unit dirs)
+    direct: jnp.ndarray  # (N,3) clamped direct-light term
+    refr_has_child: jnp.ndarray  # (N,)
+    refr_mult: jnp.ndarray  # (N,3) tint applied to the refr child's radiance
+    refr_absorb: jnp.ndarray  # (N,3) Beer-Lambert coefficient (0 = none)
+    refr_env: jnp.ndarray  # (N,3) contribution if the refr child misses
+    refr_add: jnp.ndarray  # (N,3) terminal contribution when no child
+    gi_albedo: jnp.ndarray  # (N,3) lobe albedo multiplying the GI child
+    gi_env: jnp.ndarray  # (N,3) contribution if the GI child misses
+
+
+class Tasks(NamedTuple):
+    o: jnp.ndarray  # (N,3)
+    d: jnp.ndarray  # (N,3)
+    active: jnp.ndarray  # (N,)
+    bounce: jnp.ndarray  # (N,) remaining reflect/refract budget
+
+
+# ---------------------------------------------------------------------------
+# material fetch
+# ---------------------------------------------------------------------------
+
+
+class Mtl(NamedTuple):
+    diffuse: jnp.ndarray
+    diffuse_tm: jnp.ndarray
+    specular: jnp.ndarray
+    specular_tm: jnp.ndarray
+    gloss: jnp.ndarray
+    refraction: jnp.ndarray
+    refr_gloss: jnp.ndarray
+    ior: jnp.ndarray
+    absorption: jnp.ndarray
+
+
+def _fetch_mtl(pack, mtl_id) -> Mtl:
+    i = jnp.clip(mtl_id, 0, pack.mtl_gloss.shape[0] - 1)
+    return Mtl(
+        diffuse=pack.mtl_diffuse[i],
+        diffuse_tm=pack.mtl_diffuse_tm[i],
+        specular=pack.mtl_specular[i],
+        specular_tm=pack.mtl_specular_tm[i],
+        gloss=pack.mtl_gloss[i],
+        refraction=pack.mtl_refraction[i],
+        refr_gloss=pack.mtl_refr_gloss[i],
+        ior=pack.mtl_ior[i],
+        absorption=pack.mtl_absorption[i],
+    )
+
+
+# ---------------------------------------------------------------------------
+# direct lighting (PathTracing_DiffuseNSpecular, MtlBlinn.cpp:304-351)
+# ---------------------------------------------------------------------------
+
+
+def _select_light(pack, u):
+    """One-light selection: first light (ascending-intensity order) whose
+    individual share exceeds u, else the last (MtlBlinn.cpp:309-315 — NOT a
+    CDF walk; reproduced as-is, including the missing 1/pmf compensation)."""
+    gray = jnp.sum(pack.light_intensity, axis=1) / 3.0
+    total = jnp.maximum(jnp.sum(gray), 1e-30)
+    probs = gray / total
+    ok = u[:, None] <= probs[None, :]
+    idx = jnp.where(jnp.any(ok, 1), jnp.argmax(ok, 1), pack.light_kind.shape[0] - 1)
+    return idx
+
+
+def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, key):
+    """GetSampleInLight (MtlBlinn.cpp:637-695): the shading direction vL."""
+    n = surf.p.shape[0]
+    kind = pack.light_kind[lidx]
+    lvec = pack.light_vec[lidx]
+    lsize = pack.light_size[lidx]
+
+    kd = jnp.max(mtl.diffuse, axis=1)
+    ks = jnp.max(new_spec_color, axis=1)
+
+    vl_c = lvec - surf.p  # hit -> light center
+    d_vl, d_theta = sample_along_light_direction(
+        normalize(vl_c), mtl.gloss, _uni(key, 0, (n,)), _uni(key, 1, (n,))
+    )
+    p_diffuse = jnp.power(jnp.maximum(jnp.cos(d_theta), 0.0), mtl.gloss)
+
+    r = _uni(key, 2, (n,))
+    big_r = jnp.sqrt(r) * lsize
+    th = _uni(key, 3, (n,)) * 2.0 * jnp.pi
+    a1 = normalize(cross(crossing_vector(vl_c), vl_c))
+    a2 = normalize(cross(a1, vl_c))
+    s_vl = vl_c + a1 * (big_r * jnp.cos(th))[:, None] + a2 * (big_r * jnp.sin(th))[:, None]
+    p_specular = 2.0 * r / jnp.maximum(big_r * big_r, 1e-30)
+
+    pd = kd * p_diffuse
+    ps = ks * p_specular
+    pd_norm = safe_div(pd, pd + ps)
+    use_spec = _uni(key, 4, (n,)) >= pd_norm
+    use_spec = jnp.where((ks == 0) & (kd != 0), False, use_spec)
+    use_spec = jnp.where((ks != 0) & (kd == 0), True, use_spec)
+    vl_point = jnp.where(use_spec[:, None], normalize(s_vl), normalize(d_vl))
+
+    # Non-point lights: -Direction(p) (ambient -> zero vector).
+    vl_other = jnp.where(
+        (kind == 1)[:, None], -normalize(lvec), jnp.zeros_like(lvec)
+    )
+    return jnp.where((kind == 2)[:, None], vl_point, vl_other)
+
+
+def _illuminate(pack, cfg: RenderConfig, lidx, p, key, mask):
+    """Light::Illuminate with one shadow trace (lights.h:46-64,
+    PointLight.cpp:7-18). Returns irradiance (N,3)."""
+    n = p.shape[0]
+    kind = pack.light_kind[lidx]
+    lvec = pack.light_vec[lidx]
+    lsize = pack.light_size[lidx]
+    intensity = pack.light_intensity[lidx]
+
+    center_dir = lvec - p
+    rr = dot(center_dir, center_dir)
+    sdir = sample_along_normal(
+        center_dir, lsize, _uni(key, 5, (n,)), _uni(key, 6, (n,))
+    )
+    sdir = jnp.where((lsize > 0)[:, None], sdir, center_dir)
+
+    is_point = kind == 2
+    is_direct = kind == 1
+    shadow_d = jnp.where(is_point[:, None], sdir, -lvec)
+    shadow_d = jnp.where(
+        (is_point | is_direct)[:, None], shadow_d, jnp.array([0.0, 0.0, 1.0])
+    )
+    t_max = jnp.where(is_point, 1.0, BIG)
+    occ = trace_shadow(
+        pack,
+        p,
+        shadow_d,
+        t_max,
+        cfg.shadow_bias,
+        plane_extent_bug=cfg.parity_plane_shadow_bug,
+    )
+    vis = jnp.where(occ & (is_point | is_direct) & mask, 0.0, 1.0)
+
+    irr_point = jnp.where(
+        (rr == 0.0)[:, None],
+        BIG,
+        intensity * vis[:, None] / jnp.maximum(rr, 1e-30)[:, None],
+    )
+    irr_direct = intensity * vis[:, None]
+    irr_ambient = intensity
+    return jnp.where(
+        is_point[:, None],
+        irr_point,
+        jnp.where(is_direct[:, None], irr_direct, irr_ambient),
+    )
+
+
+def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, key, mask):
+    n = surf.p.shape[0]
+    lidx = _select_light(pack, _uni(key, 7, (n,)))
+    vl = _sample_in_light(pack, lidx, surf, mtl, new_spec_color, key)
+    cos_theta = dot(vl, vn)
+    irrad = _illuminate(pack, cfg, lidx, surf.p, key, mask & (cos_theta > 0))
+    vh = normalize(vl + vv)
+    diff = textured_color(
+        pack, mtl.diffuse, mtl.diffuse_tm, surf.uvw, surf.duvw, taps=cfg.texture_sample_count
+    )
+    spec = textured_color(
+        pack, new_spec_color, mtl.specular_tm, surf.uvw, surf.duvw, taps=cfg.texture_sample_count
+    )
+    hn = jnp.maximum(dot(vh, vn), 0.0)
+    brdf_cos = diff * cos_theta[:, None] + spec * jnp.power(hn, mtl.gloss)[:, None]
+    out = jnp.where((cos_theta > 0)[:, None], irrad * brdf_cos, 0.0)
+    out = _clamp_white(out)
+    # NaN in direct -> black (MtlBlinn.cpp:344-347).
+    out = jnp.where(jnp.isnan(out[:, 0:1]), 0.0, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GI lobe (PathTracing_GlobalIllumination, MtlBlinn.cpp:354-433)
+# ---------------------------------------------------------------------------
+
+
+def _gi_sample(pack, cfg, surf, mtl: Mtl, new_spec_color, vn, vv, key):
+    n = surf.p.shape[0]
+    kd = jnp.max(mtl.diffuse, axis=1)
+    ks = jnp.max(new_spec_color, axis=1)
+
+    d_dir, d_theta = sample_in_semisphere(vn, _uni(key, 10, (n,)), _uni(key, 11, (n,)))
+    d_dir = normalize(d_dir)
+    p_dt = jnp.sin(2.0 * d_theta)
+
+    vr = 2.0 * dot(vn, vv, keepdims=True) * vn - vv
+    s_dir, s_theta = sample_along_light_direction(
+        vr, mtl.gloss, _uni(key, 12, (n,)), _uni(key, 13, (n,))
+    )
+    p_st = jnp.power(jnp.maximum(jnp.cos(s_theta), 0.0), mtl.gloss)
+
+    pd_norm = safe_div(kd * p_dt, kd * p_dt + ks * p_st)
+    use_spec = _uni(key, 14, (n,)) >= pd_norm
+    gi_dir = jnp.where(use_spec[:, None], s_dir, d_dir)  # spec dir unnormalized
+    gi_o = surf.p + vn * cfg.bias
+
+    diff = textured_color(
+        pack, mtl.diffuse, mtl.diffuse_tm, surf.uvw, surf.duvw, taps=cfg.texture_sample_count
+    )
+    spec = textured_color(
+        pack, new_spec_color, mtl.specular_tm, surf.uvw, surf.duvw, taps=cfg.texture_sample_count
+    )
+    albedo = jnp.where(use_spec[:, None], spec, diff)
+
+    env, env_valid = sample_environment(pack, gi_dir)
+    env_term = jnp.where(env_valid[:, None], env * albedo, 0.0)
+    # Degenerate-direction sentinel (MtlBlinn.cpp:411-414).
+    degen = (gi_dir[:, 0] == gi_dir[:, 1]) & (gi_dir[:, 0] == 0.0)
+    env_term = jnp.where(degen[:, None], NAN_PURPLE, env_term)
+    return gi_o, gi_dir, albedo, env_term
+
+
+# ---------------------------------------------------------------------------
+# refraction / TIR chain (PathTracing_Refraction + RefractionRecusive +
+# HandleRayWhenRefractionRayOut, MtlBlinn.cpp:437-589)
+# ---------------------------------------------------------------------------
+
+_CASE_NONE = 0  # no refraction / budget exhausted -> black
+_CASE_FRONT = 1  # chain hit a front face: child Shade of that hit, no tint
+_CASE_OUT = 2  # exited the medium: child Shade tinted by refr * absorption
+_CASE_MISS = 3  # inner trace escaped the scene -> NANPurple sentinel
+
+
+def _glossy_refr_dir(vt, vn, rgloss, key, tag, want_negative: bool, tries: int):
+    """Fixed-try rejection resampling of the refraction direction
+    (MtlBlinn.cpp:454-465, 560-572). Falls back to the perfect direction."""
+    n = vt.shape[0]
+    chosen = normalize(vt)
+    found = jnp.zeros((n,), bool)
+    for k in range(tries):
+        cand, _ = sample_along_light_direction(
+            vt, rgloss, _uni(key, tag + 2 * k, (n,)), _uni(key, tag + 2 * k + 1, (n,))
+        )
+        sign = dot(cand, vn)
+        ok = (sign < 0.0) if want_negative else (sign > 0.0)
+        take = ok & ~found
+        chosen = jnp.where(take[:, None], normalize(cand), chosen)
+        found = found | ok
+    use = rgloss > 0.0
+    return jnp.where((use & found)[:, None], chosen, jnp.where(use[:, None], normalize(vt), normalize(vt)))
+
+
+def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, active, bounce, key):
+    """Run the enter/TIR/exit chain. Returns (case, child_o, child_d,
+    bounce_left)."""
+    n = surf.p.shape[0]
+
+    # --- entry refraction direction (MtlBlinn.cpp:443-465) ---
+    sin1 = safe_sqrt(1.0 - cos_phi1 * cos_phi1)
+    sin2 = sin1 / jnp.maximum(mtl.ior, 1e-6)
+    cos2 = safe_sqrt(1.0 - sin2 * sin2)
+    vtn = -cos2[:, None] * vn
+    vnxv = cross(vn, vv)
+    vtp = normalize(cross(vn, vnxv)) * sin2[:, None]
+    vt = vtn + vtp
+    # Effective refraction glossiness: the Blinn glossiness when > 50, else 0
+    # (MtlBlinn.cpp:115-116) — the material's refractionGlossiness is unused
+    # by Shade, a reference quirk kept here.
+    rgloss = jnp.where(mtl.gloss > 50.0, mtl.gloss, 0.0)
+    vt = _glossy_refr_dir(vt, vn, rgloss, key, 20, True, cfg.refr_gloss_tries)
+
+    has_refr = jnp.any(refr_eff != 0.0, axis=1)  # !refraction.IsBlack()
+    chain_active = active & has_refr & (bounce > 0)
+
+    state = dict(
+        p=surf.p,
+        nrm=vn,
+        d=vt,
+        bounce=bounce,
+        settled=~chain_active,
+        case=jnp.zeros((n,), jnp.int32),
+        out_o=surf.p,
+        out_d=vt,
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(~s["settled"])
+
+    def body(s):
+        ray_o = s["p"] - s["nrm"] * cfg.bias
+        ray_d = s["d"]
+        live = ~s["settled"]
+        hit = trace_closest(pack, ray_o, ray_d, "both")
+        sres = resolve_hit(pack, ray_o, ray_d, hit, jnp.zeros(3), jnp.zeros(3))
+
+        # miss -> NANPurple sentinel (RefractionRecusive else-branch :514-518)
+        miss = live & ~hit.hit
+        # front face -> child Shade of this ray (RefractionRecusive :507-510)
+        front_hit = live & hit.hit & hit.front
+
+        # back face: exit or TIR (HandleRayWhenRefractionRayOut :543-589)
+        back_hit = live & hit.hit & ~hit.front
+        vn2 = sres.n
+        vv2 = -normalize(ray_d)
+        c1 = dot(vv2, -vn2)
+        s1 = safe_sqrt(1.0 - c1 * c1)
+        s2 = mtl.ior * s1
+        going_out = s2 <= 1.0
+        c2 = safe_sqrt(1.0 - s2 * s2)
+        vtn2 = vn2 * c2[:, None]
+        vtp2 = normalize(cross(vn2, cross(vn2, vv2))) * s2[:, None]
+        vt2 = vtn2 + vtp2
+        kk = jax.random.fold_in(key, 40)
+        kk = jax.random.fold_in(kk, s["it"])
+        vt2 = _glossy_refr_dir(vt2, vn2, rgloss, kk, 0, False, cfg.refr_gloss_tries)
+        out_o = sres.p + vn2 * cfg.bias
+        # internal reflection: vR = -2 cos1 vN - vV (:582)
+        vr = -2.0 * c1[:, None] * vn2 - vv2
+        exhausted = s["bounce"] <= 0
+
+        exit_now = back_hit & going_out
+        tir = back_hit & ~going_out & ~exhausted
+        dead = back_hit & ~going_out & exhausted
+
+        case = s["case"]
+        case = jnp.where(miss, _CASE_MISS, case)
+        case = jnp.where(front_hit, _CASE_FRONT, case)
+        case = jnp.where(exit_now, _CASE_OUT, case)
+        case = jnp.where(dead, _CASE_NONE, case)
+
+        new_out_o = jnp.where(
+            front_hit[:, None], ray_o, jnp.where(exit_now[:, None], out_o, s["out_o"])
+        )
+        new_out_d = jnp.where(
+            front_hit[:, None],
+            ray_d,
+            jnp.where(exit_now[:, None], normalize(vt2), s["out_d"]),
+        )
+        return dict(
+            p=jnp.where(tir[:, None], sres.p, s["p"]),
+            nrm=jnp.where(tir[:, None], vn2, s["nrm"]),
+            d=jnp.where(tir[:, None], vr, s["d"]),
+            bounce=jnp.where(tir, s["bounce"] - 1, s["bounce"]),
+            settled=s["settled"] | miss | front_hit | exit_now | dead,
+            case=case,
+            out_o=new_out_o,
+            out_d=new_out_d,
+            it=s["it"] + 1,
+        )
+
+    if cfg.differentiable:
+        # Fixed-trip scan: reverse-mode AD cannot cross while_loop. The body
+        # is a fixpoint (settled lanes no-op), so extra trips are exact.
+        def scan_body(s, _):
+            return jax.lax.cond(jnp.any(~s["settled"]), body, lambda x: x, s), None
+
+        state, _ = jax.lax.scan(scan_body, state, None, length=cfg.tir_bounces + 1)
+    else:
+        state = jax.lax.while_loop(cond, body, state)
+    return state["case"], state["out_o"], state["out_d"], state["bounce"]
+
+
+# ---------------------------------------------------------------------------
+# one tree level
+# ---------------------------------------------------------------------------
+
+
+def _shade_level(
+    pack, cfg: RenderConfig, tasks: Tasks, level: int, key, dd_x, dd_y
+) -> Tuple[LevelRecord, Tasks, Surface]:
+    n = tasks.o.shape[0]
+    hit = trace_closest(pack, tasks.o, tasks.d, "front")
+    surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y)
+    shade = tasks.active & hit.hit
+
+    mtl = _fetch_mtl(pack, surf.mtl)
+    vn = surf.n
+    vv = normalize(tasks.o - surf.p)
+    cos_phi1 = jnp.clip(dot(vn, vv), 0.0, 1.0)
+
+    # Schlick Fresnel folded into the specular color (MtlBlinn.cpp:107-114).
+    r0 = jnp.power((1.0 - mtl.ior) / (1.0 + mtl.ior), 2.0)
+    fres = r0 + (1.0 - r0) * jnp.power(1.0 - cos_phi1, 5.0)
+    new_spec_color = _clamp_white(mtl.specular + fres[:, None] * mtl.refraction)
+    refr_eff = (1.0 - fres)[:, None] * mtl.refraction
+
+    # --- direct light ---
+    direct = _direct_light(
+        pack, cfg, surf, mtl, new_spec_color, vn, vv, jax.random.fold_in(key, 1), shade
+    )
+
+    # --- refraction chain ---
+    case, ro, rd, bounce_left = _refraction_chain(
+        pack, cfg, surf, mtl, vn, vv, cos_phi1, refr_eff,
+        shade, tasks.bounce, jax.random.fold_in(key, 2),
+    )
+    refr_has_child = (case == _CASE_FRONT) | (case == _CASE_OUT)
+    is_out = (case == _CASE_OUT)[:, None]
+    refr_mult = jnp.where(is_out, refr_eff, 1.0)
+    refr_absorb = jnp.where(is_out, mtl.absorption, 0.0)
+    env_r, env_r_valid = sample_environment(pack, rd)
+    refr_env = jnp.where(env_r_valid[:, None], refr_mult * env_r, 0.0)
+    refr_add = jnp.where((case == _CASE_MISS)[:, None], NAN_PURPLE, 0.0)
+
+    # --- GI lobe ---
+    gi_on = cfg.gi_active(level)
+    if gi_on:
+        gi_o, gi_d, gi_albedo, gi_env = _gi_sample(
+            pack, cfg, surf, mtl, new_spec_color, vn, vv, jax.random.fold_in(key, 3)
+        )
+    else:
+        gi_o = tasks.o
+        gi_d = tasks.d
+        gi_albedo = jnp.zeros((n, 3))
+        gi_env = jnp.zeros((n, 3))
+
+    rec = LevelRecord(
+        active=tasks.active,
+        hit=hit.hit,
+        z=surf.z,
+        direct=direct,
+        refr_has_child=refr_has_child & shade,
+        refr_mult=refr_mult,
+        refr_absorb=refr_absorb,
+        refr_env=refr_env,
+        refr_add=refr_add,
+        gi_albedo=gi_albedo,
+        gi_env=gi_env,
+    )
+
+    # --- children ---
+    refr_child = Tasks(o=ro, d=rd, active=shade & refr_has_child, bounce=bounce_left)
+    if gi_on:
+        gi_child = Tasks(o=gi_o, d=gi_d, active=shade, bounce=tasks.bounce)
+
+        def interleave(a, b):
+            return jnp.stack([a, b], axis=1).reshape((2 * n,) + a.shape[1:])
+
+        children = Tasks(
+            o=interleave(refr_child.o, gi_child.o),
+            d=interleave(refr_child.d, gi_child.d),
+            active=interleave(refr_child.active, gi_child.active),
+            bounce=interleave(refr_child.bounce, gi_child.bounce),
+        )
+    else:
+        children = refr_child
+    return rec, children, surf
+
+
+def _combine_level(
+    cfg: RenderConfig,
+    level: int,
+    rec: LevelRecord,
+    child_rad,
+    child_z,
+    child_hit,
+):
+    """Backward combine: Shade's stage sums with clamp + early-out semantics
+    (MtlBlinn.cpp:117-131)."""
+    n = rec.hit.shape[0]
+    gi_on = cfg.gi_active(level)
+    if gi_on:
+        child_rad = child_rad.reshape(n, 2, 3)
+        child_z = child_z.reshape(n, 2)
+        child_hit = child_hit.reshape(n, 2)
+        c0_rad, c1_rad = child_rad[:, 0], child_rad[:, 1]
+        c0_z, c1_z = child_z[:, 0], child_z[:, 1]
+        c0_hit, c1_hit = child_hit[:, 0], child_hit[:, 1]
+    else:
+        c0_rad, c0_z, c0_hit = child_rad, child_z, child_hit
+
+    absorb = jnp.exp(-rec.refr_absorb * c0_z[:, None])
+    refr = jnp.where(
+        rec.refr_has_child[:, None],
+        jnp.where(
+            c0_hit[:, None],
+            _clamp_white(rec.refr_mult * absorb * c0_rad),
+            _clamp_white(rec.refr_env),
+        ),
+        _clamp_white(rec.refr_add),
+    )
+    out = refr
+    sat = jnp.all(out >= 1.0, axis=1)
+
+    if gi_on:
+        gi_hit_term = jnp.where(
+            (c1_hit & (c1_z > cfg.bias))[:, None], c1_rad * rec.gi_albedo, 0.0
+        )
+        gi = jnp.where(c1_hit[:, None], gi_hit_term, rec.gi_env)
+        gi = jnp.where(jnp.isnan(gi[:, 0:1]), NAN_PURPLE, gi)
+        gi = _clamp_white(gi)
+        out = out + jnp.where(sat[:, None], 0.0, gi)
+        sat = jnp.all(out >= 1.0, axis=1)
+
+    out = out + jnp.where(sat[:, None], 0.0, rec.direct)
+    out = jnp.where(jnp.isnan(out[:, 0:1]), NAN_PURPLE, out)
+    return jnp.where((rec.active & rec.hit)[:, None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# full radiance for a batch of camera rays
+# ---------------------------------------------------------------------------
+
+
+def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y):
+    """Radiance for camera rays (o, d) with per-pixel background uv
+    (Main.cpp:158-168). Returns (N,3) linear radiance."""
+    n = o.shape[0]
+    tasks = Tasks(
+        o=o,
+        d=d,
+        active=jnp.ones((n,), bool),
+        bounce=jnp.full((n,), cfg.tir_bounces, jnp.int32),
+    )
+    recs = []
+    for level in range(cfg.max_levels):
+        rec, tasks, _ = _shade_level(
+            pack, cfg, tasks, level, jax.random.fold_in(key, 100 + level), dd_x, dd_y
+        )
+        recs.append(rec)
+
+    # Unexpanded tail: children of the last level contribute black.
+    m = tasks.o.shape[0]
+    child_rad = jnp.zeros((m, 3))
+    child_z = jnp.full((m,), BIG)
+    child_hit = jnp.zeros((m,), bool)
+    for level in reversed(range(cfg.max_levels)):
+        rad = _combine_level(cfg, level, recs[level], child_rad, child_z, child_hit)
+        child_rad, child_z, child_hit = rad, recs[level].z, recs[level].hit
+
+    bg = sample_background(pack, bg_uv)
+    return jnp.where(recs[0].hit[:, None], child_rad, bg)
+
+
+# ---------------------------------------------------------------------------
+# image rendering driver
+# ---------------------------------------------------------------------------
+
+
+def _render_chunk(pack, cfg: RenderConfig, cam: CameraParams, width, height, px, py, key):
+    """Radiance for one chunk of (pixel, sample) lanes. px/py: (N,)."""
+    n = px.shape[0]
+    u = jax.random.uniform(jax.random.fold_in(key, 0), (n, 2))
+    o, d = gen_rays(cam, width, height, px, py, u)
+    _, dd_x, dd_y = camera_basis(cam, width, height)
+    bg_uv = jnp.stack(
+        [px.astype(jnp.float32) / width, py.astype(jnp.float32) / height, jnp.zeros(n)],
+        -1,
+    )
+    return trace_radiance(pack, cfg, o, d, bg_uv, jax.random.fold_in(key, 1), dd_x, dd_y)
+
+
+_render_chunk_jit = jax.jit(
+    _render_chunk, static_argnames=("cfg", "width", "height")
+)
+
+
+def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0):
+    """Render a full image: returns (H, W, 3) float32 in [0,1] after the
+    reference's gamma (Main.cpp:216-231). `camera` is a scene-desc Camera."""
+    cam = from_scene_camera(camera)
+    width, height = camera.width, camera.height
+    spp = cfg.spp
+    total = width * height
+
+    key = jax.random.PRNGKey(seed)
+    accum = np.zeros((total, 3), np.float32)
+    # Lanes are (pixel, sample); chunk over pixels, loop samples to bound
+    # memory (the shade tree multiplies live state by ~2^levels).
+    chunk = max(1, cfg.chunk_rays)
+    for s in range(spp):
+        for start in range(0, total, chunk):
+            stop = min(start + chunk, total)
+            idx = np.arange(start, stop)
+            px = jnp.asarray(idx % width, jnp.int32)
+            py = jnp.asarray(idx // width, jnp.int32)
+            ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
+            rad = _render_chunk_jit(pack, cfg, cam, width, height, px, py, ck)
+            accum[start:stop] += np.asarray(rad, np.float32)
+
+    img = accum / spp
+    if cfg.use_gamma:
+        img = np.power(np.maximum(img, 0.0), 1.0 / cfg.gamma)
+    return img.reshape(height, width, 3)
+
+
+def image_to_u8(img: np.ndarray) -> np.ndarray:
+    """Color24 conversion (cyColor.h:231): clamp to [0,1], scale, round."""
+    return np.clip(np.asarray(img) * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)

@@ -1,0 +1,467 @@
+"""Scene tracing: closest-hit, any-hit (shadow), and hit resolution.
+
+Replaces the reference's recursive scene-graph walk (`recursive`,
+Main.cpp:389-413) and per-type shadow dispatch (GenLight.cpp:15-69) with flat
+wavefront queries over the ScenePack:
+
+  - analytic instances are intersected fully vectorized (rays x instances)
+  - triangle meshes use an iterative ordered-descent BVH traversal with a
+    per-ray short stack inside `lax.while_loop` — the TPU re-design of the
+    recursive TraceBVHNode/TraceBVHShadow (TriObj.cpp:192-307)
+
+Traversal is integer-valued and wrapped in stop_gradient; `resolve_hit`
+*recomputes* the surface interaction differentiably from the discrete hit ids
+(the hit-ID-frozen reparameterization), so reverse-mode AD never needs to
+differentiate through the traversal loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bhraytracer_tpu.ops.intersect import (
+    box_intersect,
+    plane_intersect,
+    sphere_intersect,
+    triangle_intersect,
+)
+from bhraytracer_tpu.ops.linalg import (
+    BIG,
+    cross,
+    dot,
+    mat_t_vec,
+    mat_vec,
+    normalize,
+    safe_div,
+)
+
+KIND_SPHERE, KIND_PLANE, KIND_MESH = 0, 1, 2
+LEAF_SIZE = 4  # matches bvh.SetMesh(this, 4) (objects.h:59)
+MESH_SHADOW_BIAS = 1e-4  # TriObj.cpp Bias (TriObj.cpp:9)
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray  # (N,) f32 — BIG on miss
+    kind: jnp.ndarray  # (N,) i32
+    inst: jnp.ndarray  # (N,) i32
+    face: jnp.ndarray  # (N,) i32 global face id (mesh hits)
+    front: jnp.ndarray  # (N,) bool
+    hit: jnp.ndarray  # (N,) bool
+
+
+class Surface(NamedTuple):
+    p: jnp.ndarray  # (N,3) world hit point
+    n: jnp.ndarray  # (N,3) world shading normal (normalized, never flipped)
+    uvw: jnp.ndarray  # (N,3)
+    duvw: jnp.ndarray  # (N,2,3)
+    mtl: jnp.ndarray  # (N,) i32
+    z: jnp.ndarray  # (N,) ray parameter (frame-invariant)
+    front: jnp.ndarray  # (N,) bool
+
+
+def _to_local(itm, pos, o, d):
+    """Transform rays into instance frames: (N,3),(K,3,3),(K,3) -> (N,K,3).
+
+    Matches Node::ToNodeCoords (scene.h:490-496): p' = itm (p - pos),
+    d' = itm d (t parameter is preserved).
+    """
+    ol = jnp.einsum("kij,nkj->nki", itm, o[:, None, :] - pos[None, :, :])
+    dl = jnp.einsum("kij,nj->nki", itm, d)
+    return ol, dl
+
+
+def _one_local(itm, pos, o, d):
+    """(3,3),(3,) transform for a single instance over (N,3) rays."""
+    ol = jnp.einsum("ij,nj->ni", itm, o - pos)
+    dl = jnp.einsum("ij,nj->ni", itm, d)
+    return ol, dl
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal (per mesh instance)
+# ---------------------------------------------------------------------------
+
+
+def bvh_closest(pack, root, o, d, hit_side: str, t_init):
+    """Closest triangle hit in one mesh's BVH. o, d: (N,3) LOCAL rays.
+
+    Returns (t, face, front): t = t_init lanes that found nothing closer.
+    """
+    n = o.shape[0]
+    depth = pack.bvh_depth + 2
+    arange = jnp.arange(n)
+
+    rb_min = pack.bvh_bmin[root]
+    rb_max = pack.bvh_bmax[root]
+    _, root_hit = box_intersect(rb_min, rb_max, o, d, t_init)
+
+    stack0 = jnp.zeros((n, depth), jnp.int32).at[:, 0].set(root)
+    sp0 = jnp.where(root_hit, 1, 0).astype(jnp.int32)
+
+    def cond(state):
+        sp = state[1]
+        return jnp.any(sp > 0)
+
+    def body(state):
+        stack, sp, best_t, best_face, best_front = state
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = jnp.where(active, stack[arange, top], 0)
+        sp = jnp.where(active, sp - 1, sp)
+
+        count = pack.bvh_count[node]
+        left = pack.bvh_left[node]
+        is_leaf = active & (count > 0)
+        is_internal = active & (count == 0)
+
+        # --- leaf: up to LEAF_SIZE contiguous faces ---
+        for k in range(LEAF_SIZE):
+            fidx = left + k
+            fidx = jnp.clip(fidx, 0, pack.face_v.shape[0] - 1)
+            fval = is_leaf & (k < count)
+            vi = pack.face_v[fidx]
+            v0 = pack.verts[vi[:, 0]]
+            v1 = pack.verts[vi[:, 1]]
+            v2 = pack.verts[vi[:, 2]]
+            t, front = triangle_intersect(v0, v1, v2, o, d, hit_side)
+            upd = fval & (t < best_t)
+            best_t = jnp.where(upd, t, best_t)
+            best_face = jnp.where(upd, fidx, best_face)
+            best_front = jnp.where(upd, front, best_front)
+
+        # --- internal: ordered descent, push far then near ---
+        c1 = left
+        c2 = left + 1
+        t1, h1 = box_intersect(pack.bvh_bmin[c1], pack.bvh_bmax[c1], o, d, best_t)
+        t2, h2 = box_intersect(pack.bvh_bmin[c2], pack.bvh_bmax[c2], o, d, best_t)
+        swap = t2 < t1
+        near = jnp.where(swap, c2, c1)
+        far = jnp.where(swap, c1, c2)
+        near_hit = is_internal & jnp.where(swap, h2, h1)
+        far_hit = is_internal & jnp.where(swap, h1, h2)
+
+        stack = jnp.where(
+            far_hit[:, None] & (jnp.arange(depth)[None, :] == sp[:, None]),
+            far[:, None],
+            stack,
+        )
+        sp = sp + far_hit.astype(jnp.int32)
+        stack = jnp.where(
+            near_hit[:, None] & (jnp.arange(depth)[None, :] == sp[:, None]),
+            near[:, None],
+            stack,
+        )
+        sp = sp + near_hit.astype(jnp.int32)
+        return stack, sp, best_t, best_face, best_front
+
+    init = (
+        stack0,
+        sp0,
+        t_init,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), bool),
+    )
+    _, _, t, face, front = jax.lax.while_loop(cond, body, init)
+    return t, face, front
+
+
+def bvh_anyhit(pack, root, o, d, t_min: float, t_max):
+    """Shadow (any-hit) query: any FRONT-facing triangle with t in
+    (t_min, t_max) — TraceBVHShadow semantics (TriObj.cpp:272-307; front-only
+    via IntersectTriangle(..., HIT_FRONT), mesh shadow bias TriObj.cpp:9).
+    """
+    n = o.shape[0]
+    depth = pack.bvh_depth + 2
+    arange = jnp.arange(n)
+
+    _, root_hit = box_intersect(pack.bvh_bmin[root], pack.bvh_bmax[root], o, d, BIG)
+    stack0 = jnp.zeros((n, depth), jnp.int32).at[:, 0].set(root)
+    sp0 = jnp.where(root_hit, 1, 0).astype(jnp.int32)
+    occ0 = jnp.zeros((n,), bool)
+
+    def cond(state):
+        _, sp, occ = state
+        return jnp.any((sp > 0) & ~occ)
+
+    def body(state):
+        stack, sp, occ = state
+        active = (sp > 0) & ~occ
+        top = jnp.maximum(sp - 1, 0)
+        node = jnp.where(active, stack[arange, top], 0)
+        sp = jnp.where(active, sp - 1, sp)
+
+        count = pack.bvh_count[node]
+        left = pack.bvh_left[node]
+        is_leaf = active & (count > 0)
+        is_internal = active & (count == 0)
+
+        for k in range(LEAF_SIZE):
+            fidx = jnp.clip(left + k, 0, pack.face_v.shape[0] - 1)
+            fval = is_leaf & (k < count)
+            vi = pack.face_v[fidx]
+            t, _ = triangle_intersect(
+                pack.verts[vi[:, 0]],
+                pack.verts[vi[:, 1]],
+                pack.verts[vi[:, 2]],
+                o,
+                d,
+                "front",
+            )
+            occ = occ | (fval & (t > t_min) & (t < t_max))
+
+        c1, c2 = left, left + 1
+        _, h1 = box_intersect(pack.bvh_bmin[c1], pack.bvh_bmax[c1], o, d, BIG)
+        _, h2 = box_intersect(pack.bvh_bmin[c2], pack.bvh_bmax[c2], o, d, BIG)
+        for child, h in ((c1, h1), (c2, h2)):
+            push = is_internal & h
+            stack = jnp.where(
+                push[:, None] & (jnp.arange(depth)[None, :] == sp[:, None]),
+                child[:, None],
+                stack,
+            )
+            sp = sp + push.astype(jnp.int32)
+        return stack, sp, occ
+
+    _, _, occ = jax.lax.while_loop(cond, body, (stack0, sp0, occ0))
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# Scene-level queries
+# ---------------------------------------------------------------------------
+
+
+def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
+    """Closest hit over all instances. o, d: (N,3) world rays."""
+    # The whole query is discrete-valued (ids + aux t): freeze every input so
+    # reverse-mode AD never differentiates the traversal while_loops.
+    # resolve_hit recomputes the interaction differentiably from the ids.
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    pack = jax.lax.stop_gradient(pack)
+    n = o.shape[0]
+    best_t = jnp.full((n,), BIG)
+    best_kind = jnp.zeros((n,), jnp.int32)
+    best_inst = jnp.zeros((n,), jnp.int32)
+    best_face = jnp.full((n,), -1, jnp.int32)
+    best_front = jnp.zeros((n,), bool)
+
+    if pack.n_sph:
+        ol, dl = _to_local(pack.sph_itm, pack.sph_pos, o, d)
+        t, front = sphere_intersect(ol, dl, hit_side)  # (N,K)
+        k = jnp.argmin(t, axis=1)
+        tk = jnp.take_along_axis(t, k[:, None], 1)[:, 0]
+        fk = jnp.take_along_axis(front, k[:, None], 1)[:, 0]
+        upd = tk < best_t
+        best_t = jnp.where(upd, tk, best_t)
+        best_kind = jnp.where(upd, KIND_SPHERE, best_kind)
+        best_inst = jnp.where(upd, k.astype(jnp.int32), best_inst)
+        best_front = jnp.where(upd, fk, best_front)
+
+    if pack.n_pln:
+        ol, dl = _to_local(pack.pln_itm, pack.pln_pos, o, d)
+        t, front = plane_intersect(ol, dl, hit_side)
+        k = jnp.argmin(t, axis=1)
+        tk = jnp.take_along_axis(t, k[:, None], 1)[:, 0]
+        fk = jnp.take_along_axis(front, k[:, None], 1)[:, 0]
+        upd = tk < best_t
+        best_t = jnp.where(upd, tk, best_t)
+        best_kind = jnp.where(upd, KIND_PLANE, best_kind)
+        best_inst = jnp.where(upd, k.astype(jnp.int32), best_inst)
+        best_front = jnp.where(upd, fk, best_front)
+
+    for i in range(pack.n_msh):
+        ol, dl = _one_local(pack.msh_itm[i], pack.msh_pos[i], o, d)
+        t, face, front = bvh_closest(pack, pack.msh_root[i], ol, dl, hit_side, best_t)
+        upd = t < best_t
+        best_t = jnp.where(upd, t, best_t)
+        best_kind = jnp.where(upd, KIND_MESH, best_kind)
+        best_inst = jnp.where(upd, i, best_inst)
+        best_face = jnp.where(upd, face, best_face)
+        best_front = jnp.where(upd, front, best_front)
+
+    return Hit(
+        t=best_t,
+        kind=best_kind,
+        inst=best_inst,
+        face=best_face,
+        front=best_front,
+        hit=best_t < BIG,
+    )
+
+
+def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool = False):
+    """Boolean occlusion query (ShadowRayRecursive, GenLight.cpp:15-69).
+
+    t_max: (N,) or scalar. `plane_extent_bug=True` reproduces the reference's
+    frame mix-up (the plane's [-1,1] extent tested on the parent-frame point,
+    GenLight.cpp:37-40).
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    pack = jax.lax.stop_gradient(pack)
+    t_max = jax.lax.stop_gradient(t_max)
+    n = o.shape[0]
+    t_max = jnp.broadcast_to(t_max, (n,))
+    occ = jnp.zeros((n,), bool)
+
+    if pack.n_sph:
+        ol, dl = _to_local(pack.sph_itm, pack.sph_pos, o, d)
+        a = dot(dl, dl)
+        b = 2.0 * dot(dl, ol)
+        c = dot(ol, ol) - 1.0
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        tmin = (-b - sq) / jnp.maximum(2.0 * a, 1e-30)  # min(t1, t2)
+        # Reference: inside-the-sphere (tmin < 0) casts no shadow
+        # (GenLight.cpp:33: if (t < 0) return false).
+        hit = (disc > 0.0) & (tmin > shadow_bias) & (tmin < t_max[:, None])
+        occ |= jnp.any(hit, axis=1)
+
+    if pack.n_pln:
+        ol, dl = _to_local(pack.pln_itm, pack.pln_pos, o, d)
+        dz = dl[..., 2]
+        t = -ol[..., 2] / jnp.where(dz == 0.0, 1e-30, dz)
+        if plane_extent_bug:
+            x = o[:, None, :] + t[..., None] * d[:, None, :]
+        else:
+            x = ol + t[..., None] * dl
+        in_ext = (jnp.abs(x[..., 0]) <= 1.0) & (jnp.abs(x[..., 1]) <= 1.0)
+        hit = (dz != 0.0) & (t >= 0.0) & in_ext & (t > shadow_bias) & (t < t_max[:, None])
+        occ |= jnp.any(hit, axis=1)
+
+    for i in range(pack.n_msh):
+        ol, dl = _one_local(pack.msh_itm[i], pack.msh_pos[i], o, d)
+        occ |= bvh_anyhit(pack, pack.msh_root[i], ol, dl, MESH_SHADOW_BIAS, t_max)
+
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# Differentiable hit resolution
+# ---------------------------------------------------------------------------
+
+
+def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y) -> Surface:
+    """Recompute the surface interaction differentiably from discrete hit ids.
+
+    dd_x/dd_y are the camera pixel deltas used (reference-faithfully, even
+    for secondary rays) by the plane's ray-differential propagation
+    (Plane.cpp:51-70, via the dd_x/dd_y globals).
+    """
+    n = o.shape[0]
+    kind = hit.kind
+    z3 = jnp.zeros((n, 3))
+
+    # --- sphere ---
+    si = jnp.clip(hit.inst, 0, max(pack.sph_itm.shape[0] - 1, 0))
+    s_itm = pack.sph_itm[si]
+    ol = mat_vec(s_itm, o - pack.sph_pos[si])
+    dl = mat_vec(s_itm, d)
+    a = dot(dl, dl)
+    b = 2.0 * dot(dl, ol)
+    c = dot(ol, ol) - 1.0
+    sq = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+    inv2a = 1.0 / jnp.maximum(2.0 * a, 1e-30)
+    t_s = jnp.where(hit.front, (-b - sq) * inv2a, (-b + sq) * inv2a)
+    p_s = ol + t_s[:, None] * dl
+    n_s = p_s  # N = local hit point (Sphere.cpp:57)
+    dn = normalize(jax.lax.stop_gradient(p_s))
+    uv_s = jnp.stack(
+        [
+            0.5 + jnp.arctan2(dn[:, 1], dn[:, 0]) / (2.0 * jnp.pi),
+            0.5 - jnp.arcsin(jnp.clip(dn[:, 2], -1.0, 1.0)) / jnp.pi,
+            jnp.zeros(n),
+        ],
+        -1,
+    )
+    sph = (t_s, p_s, n_s, uv_s, z3, z3, pack.sph_mtl[si], pack.sph_tm[si], s_itm, pack.sph_pos[si])
+
+    # --- plane ---
+    pi = jnp.clip(hit.inst, 0, max(pack.pln_itm.shape[0] - 1, 0))
+    p_itm = pack.pln_itm[pi]
+    ol = mat_vec(p_itm, o - pack.pln_pos[pi])
+    dl = mat_vec(p_itm, d)
+    t_p = -ol[:, 2] / jnp.where(dl[:, 2] == 0.0, 1e-30, dl[:, 2])
+    p_p = ol + t_p[:, None] * dl
+    n_p = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
+    uv_p = jnp.stack(
+        [(1.0 + p_p[:, 0]) * 0.5, (1.0 + p_p[:, 1]) * 0.5, jnp.zeros(n)], -1
+    )
+    # Ray differentials (Plane.cpp:51-70): mixes the LOCAL ray direction with
+    # the WORLD-frame camera deltas, reproduced verbatim.
+    nd = normalize(dl)
+    scaled_t = t_p * jnp.sqrt(jnp.maximum(dot(dl, dl), 1e-30))
+    nrm = n_p
+
+    def plane_duvw(dd):
+        dd = jnp.broadcast_to(dd, (n, 3))
+        ddir = dd - dot(nd, dd, keepdims=True) * nd
+        dt = -(scaled_t * dot(ddir, nrm) / jnp.where(dot(nd, nrm) == 0, 1e-30, dot(nd, nrm)))
+        dhit = scaled_t[:, None] * ddir + dt[:, None] * nd
+        return dhit * 0.5
+
+    duvw_p = jnp.stack([plane_duvw(dd_x), plane_duvw(dd_y)], 1)
+    pln = (t_p, p_p, n_p, uv_p, duvw_p[:, 0], duvw_p[:, 1], pack.pln_mtl[pi],
+           pack.pln_tm[pi], p_itm, pack.pln_pos[pi])
+
+    # --- mesh ---
+    mi = jnp.clip(hit.inst, 0, max(pack.msh_itm.shape[0] - 1, 0))
+    m_itm = pack.msh_itm[mi]
+    ol = mat_vec(m_itm, o - pack.msh_pos[mi])
+    dl = mat_vec(m_itm, d)
+    fi = jnp.clip(hit.face, 0, pack.face_v.shape[0] - 1)
+    vi = pack.face_v[fi]
+    v0, v1, v2 = pack.verts[vi[:, 0]], pack.verts[vi[:, 1]], pack.verts[vi[:, 2]]
+    vn = cross(v1 - v0, v2 - v0)
+    tdiv = dot(vn, dl)
+    t_m = safe_div(dot(vn, v0) - dot(vn, ol), tdiv)
+    p_m = ol + t_m[:, None] * dl
+    from bhraytracer_tpu.ops.intersect import triangle_areas
+
+    a0, a1, a2 = triangle_areas(v0, v1, v2, p_m, vn)
+    asum = a0 + a1 + a2
+    bc = jnp.stack([a0, a1, a2], -1) / jnp.where(jnp.abs(asum) < 1e-30, 1e-30, asum)[:, None]
+    ni = pack.face_vn[fi]
+    n_m = (
+        bc[:, 0:1] * pack.normals[ni[:, 0]]
+        + bc[:, 1:2] * pack.normals[ni[:, 1]]
+        + bc[:, 2:3] * pack.normals[ni[:, 2]]
+    )
+    ti = pack.face_vt[fi]
+    uv_m = (
+        bc[:, 0:1] * pack.uvs[ti[:, 0]]
+        + bc[:, 1:2] * pack.uvs[ti[:, 1]]
+        + bc[:, 2:3] * pack.uvs[ti[:, 2]]
+    )
+    mtl_m = jnp.where(pack.msh_mtl[mi] >= 0, pack.msh_mtl[mi], pack.face_mtl[fi])
+    msh = (t_m, p_m, n_m, uv_m, z3, z3, mtl_m, pack.msh_tm[mi], m_itm, pack.msh_pos[mi])
+
+    # --- select by kind and transform to world (FromNodeCoords,
+    # scene.h:497-501: p -> tm p + pos, N -> normalize(itm^T N)) ---
+    def sel(idx):
+        is_p = (kind == KIND_PLANE)
+        is_m = (kind == KIND_MESH)
+        a, b_, c_ = sph[idx], pln[idx], msh[idx]
+        out = jnp.where(_bx(is_m, a), c_, jnp.where(_bx(is_p, a), b_, a))
+        return out
+
+    def _bx(mask, like):
+        return mask.reshape(mask.shape + (1,) * (like.ndim - 1))
+
+    t = sel(0)
+    p_l = sel(1)
+    n_l = sel(2)
+    uvw = sel(3)
+    duvw = jnp.stack([sel(4), sel(5)], 1)
+    mtl = sel(6)
+    tm = sel(7)
+    itm = sel(8)
+    pos = sel(9)
+
+    p_w = mat_vec(tm, p_l) + pos
+    n_w = normalize(mat_t_vec(itm, n_l))
+    return Surface(p=p_w, n=n_w, uvw=uvw, duvw=duvw, mtl=mtl, z=t, front=hit.front)

@@ -1,0 +1,7 @@
+from bhraytracer_tpu.parallel.sharding import (
+    make_mesh,
+    render_radiance_sharded,
+    train_step_sharded,
+)
+
+__all__ = ["make_mesh", "render_radiance_sharded", "train_step_sharded"]

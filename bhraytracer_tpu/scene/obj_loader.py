@@ -1,0 +1,172 @@
+"""Wavefront OBJ/MTL loader (cyTriMesh.h:263+ equivalent, built new).
+
+Parses v/vn/vt/f with fan triangulation and v | v/t | v//n | v/t/n and
+negative index forms, plus the MTL fields the reference consumes for its
+auto-generated multi-material (Kd/Ks/Tf/Ns/Ni/illum/map_Kd/map_Ks;
+xmlload.cpp:219-250). Computes area-weighted smooth normals when the file has
+none (objects.h:57).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from bhraytracer_tpu.scene.desc import MeshDesc
+
+
+def _resolve_index(tok: str, count: int) -> int:
+    i = int(tok)
+    return i - 1 if i > 0 else count + i
+
+
+def parse_mtl(path: str) -> List[Dict]:
+    """Parse a .mtl file into a list of dicts (one per newmtl)."""
+    mtls: List[Dict] = []
+    cur: Optional[Dict] = None
+    if not os.path.exists(path):
+        return mtls
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            key = tok[0]
+            if key == "newmtl":
+                cur = {
+                    "name": tok[1] if len(tok) > 1 else "",
+                    "Ka": np.zeros(3),
+                    "Kd": np.full(3, 0.8),
+                    "Ks": np.zeros(3),
+                    "Tf": np.zeros(3),
+                    "Ns": 0.0,
+                    "Ni": 1.0,
+                    "illum": 2,
+                    "map_Kd": None,
+                    "map_Ks": None,
+                }
+                mtls.append(cur)
+            elif cur is None:
+                continue
+            elif key in ("Ka", "Kd", "Ks", "Tf"):
+                cur[key] = np.array([float(x) for x in tok[1:4]])
+            elif key in ("Ns", "Ni"):
+                cur[key] = float(tok[1])
+            elif key == "illum":
+                cur[key] = int(tok[1])
+            elif key in ("map_Kd", "map_Ks"):
+                cur[key] = tok[-1]
+    return mtls
+
+
+def compute_smooth_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (cyTriMesh::ComputeNormals equivalent)."""
+    vn = np.zeros_like(verts)
+    v0 = verts[faces[:, 0]]
+    fn = np.cross(verts[faces[:, 1]] - v0, verts[faces[:, 2]] - v0)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    norms = np.linalg.norm(vn, axis=1, keepdims=True)
+    return (vn / np.where(norms > 0, norms, 1.0)).astype(np.float32)
+
+
+def load_obj(path: str, load_mtl: bool = True) -> MeshDesc:
+    verts: List[List[float]] = []
+    norms: List[List[float]] = []
+    uvs: List[List[float]] = []
+    fv: List[List[int]] = []
+    fn: List[List[int]] = []
+    ft: List[List[int]] = []
+    fm: List[int] = []
+    mtl_names: List[str] = []
+    obj_materials: List[Dict] = []
+    cur_mtl = -1
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            key = tok[0]
+            if key == "v":
+                verts.append([float(x) for x in tok[1:4]])
+            elif key == "vn":
+                norms.append([float(x) for x in tok[1:4]])
+            elif key == "vt":
+                vals = [float(x) for x in tok[1:4]]
+                while len(vals) < 3:
+                    vals.append(0.0)
+                uvs.append(vals)
+            elif key == "usemtl":
+                name = tok[1] if len(tok) > 1 else ""
+                if name in mtl_names:
+                    cur_mtl = mtl_names.index(name)
+                else:
+                    mtl_names.append(name)
+                    cur_mtl = len(mtl_names) - 1
+            elif key == "mtllib" and load_mtl:
+                mtl_path = os.path.join(os.path.dirname(path), " ".join(tok[1:]))
+                obj_materials.extend(parse_mtl(mtl_path))
+            elif key == "f":
+                corners = []
+                for vtok in tok[1:]:
+                    parts = vtok.split("/")
+                    vi = _resolve_index(parts[0], len(verts))
+                    ti = (
+                        _resolve_index(parts[1], len(uvs))
+                        if len(parts) > 1 and parts[1]
+                        else -1
+                    )
+                    ni = (
+                        _resolve_index(parts[2], len(norms))
+                        if len(parts) > 2 and parts[2]
+                        else -1
+                    )
+                    corners.append((vi, ti, ni))
+                # Fan triangulation, as in cyTriMesh's OBJ reader.
+                for k in range(1, len(corners) - 1):
+                    tri = [corners[0], corners[k], corners[k + 1]]
+                    fv.append([c[0] for c in tri])
+                    ft.append([c[1] for c in tri])
+                    fn.append([c[2] for c in tri])
+                    fm.append(cur_mtl)
+
+    verts_a = np.asarray(verts, np.float32).reshape(-1, 3)
+    faces_a = np.asarray(fv, np.int32).reshape(-1, 3)
+    uvs_a = np.asarray(uvs, np.float32).reshape(-1, 3)
+    norms_a = np.asarray(norms, np.float32).reshape(-1, 3)
+    fn_a = np.asarray(fn, np.int32).reshape(-1, 3)
+    ft_a = np.asarray(ft, np.int32).reshape(-1, 3)
+    fm_a = np.asarray(fm, np.int32).reshape(-1)
+
+    has_normals = len(norms) > 0 and (fn_a >= 0).all()
+    if not has_normals:
+        norms_a = compute_smooth_normals(verts_a, faces_a)
+        fn_a = faces_a.copy()
+
+    has_uvs = len(uvs) > 0 and (ft_a >= 0).all()
+    if not has_uvs:
+        uvs_a = np.zeros((1, 3), np.float32)
+        ft_a = np.zeros_like(faces_a)
+
+    # Reorder materials to match usemtl appearance order with parsed MTL data.
+    ordered = []
+    for name in mtl_names:
+        match = next((m for m in obj_materials if m["name"] == name), None)
+        ordered.append(match)
+    ordered = [m for m in ordered if m is not None]
+
+    return MeshDesc(
+        name=os.path.basename(path),
+        verts=verts_a,
+        faces=faces_a,
+        normals=norms_a,
+        face_normals=fn_a,
+        uvs=uvs_a,
+        face_uvs=ft_a,
+        face_mtl=fm_a,
+        mtl_names=mtl_names,
+        obj_materials=ordered,
+    )

@@ -1,0 +1,123 @@
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from bhraytracer_tpu.config import RenderConfig
+from bhraytracer_tpu.models.pathtracer import image_to_u8, render_image
+from bhraytracer_tpu.scene.xml_loader import load_scene
+
+SIMPLE_SCENE = textwrap.dedent(
+    """
+    <xml>
+      <scene>
+        <background r="0.1" g="0.2" b="0.3"/>
+        <object type="sphere" name="ball" material="red">
+          <scale value="1.5"/>
+          <translate x="0" y="0" z="1.5"/>
+        </object>
+        <object type="plane" name="ground" material="white">
+          <scale value="20"/>
+        </object>
+        <light type="point" name="sun">
+          <intensity value="60"/>
+          <position x="4" y="-4" z="8"/>
+        </light>
+      </scene>
+      <camera>
+        <position x="0" y="-8" z="3"/>
+        <target x="0" y="0" z="1"/>
+        <up x="0" y="0" z="1"/>
+        <fov value="40"/>
+        <width value="48"/>
+        <height value="36"/>
+      </camera>
+    </xml>
+    """
+)
+
+
+@pytest.fixture
+def simple_scene(tmp_path):
+    p = tmp_path / "scene.xml"
+    p.write_text(
+        SIMPLE_SCENE.replace(
+            "</scene>",
+            """
+        <material type="blinn" name="red">
+          <diffuse r="0.8" g="0.2" b="0.2"/>
+          <specular value="0.5"/>
+          <glossiness value="20"/>
+        </material>
+        <material type="blinn" name="white">
+          <diffuse value="0.9"/>
+          <specular value="0"/>
+        </material>
+      </scene>""",
+        )
+    )
+    return str(p)
+
+
+def test_render_smoke(simple_scene):
+    pack, cam = load_scene(simple_scene)
+    cfg = RenderConfig(spp=2, gi_bounces=1, extra_refr_levels=0, chunk_rays=2048,
+                       texture_sample_count=1)
+    img = render_image(pack, cam, cfg, seed=0)
+    assert img.shape == (36, 48, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05  # something got lit
+    u8 = image_to_u8(img)
+    assert u8.dtype == np.uint8
+
+
+def test_background_on_miss(simple_scene):
+    pack, cam = load_scene(simple_scene)
+    cfg = RenderConfig(spp=1, gi_bounces=0, extra_refr_levels=0, chunk_rays=2048,
+                       use_gamma=False, texture_sample_count=1)
+    img = render_image(pack, cam, cfg, seed=0)
+    # Top corners see only background.
+    np.testing.assert_allclose(img[0, 0], [0.1, 0.2, 0.3], atol=1e-5)
+    np.testing.assert_allclose(img[0, -1], [0.1, 0.2, 0.3], atol=1e-5)
+
+
+def test_shadow_occlusion(simple_scene):
+    """The sphere occludes the light for ground points behind it
+    (GenLight::Shadow semantics, GenLight.cpp:10-13)."""
+    import jax.numpy as jnp
+
+    from bhraytracer_tpu.ops.trace import trace_shadow
+
+    pack, cam = load_scene(simple_scene)
+    light = np.array([4.0, -4.0, 8.0])
+    # Shadow point: light->sphere-center line extended to the ground plane.
+    p_shadow = np.array([-0.923, 0.923, 0.0])
+    p_lit = np.array([3.0, -3.0, 0.0])
+    o = jnp.asarray(np.stack([p_shadow, p_lit]), jnp.float32)
+    d = jnp.asarray(np.stack([light - p_shadow, light - p_lit]), jnp.float32)
+    occ = np.asarray(trace_shadow(pack, o, d, 1.0, 1e-5))
+    assert bool(occ[0]) and not bool(occ[1])
+
+
+def test_shadow_darkens_ground(simple_scene):
+    """Image-level: the ground region contains a clearly darker shadow."""
+    pack, cam = load_scene(simple_scene)
+    cfg = RenderConfig(spp=4, gi_bounces=0, extra_refr_levels=0, chunk_rays=4096,
+                       use_gamma=False, texture_sample_count=1)
+    img = render_image(pack, cam, cfg, seed=1)
+    h = img.shape[0]
+    ground = img[int(h * 0.62):, :, :].mean(axis=2)  # below the sphere
+    assert ground.min() < 0.5 * np.median(ground), (ground.min(), np.median(ground))
+
+
+def test_render_proj2_lowres(reference_dir):
+    """End-to-end on a real reference scene (3 nested spheres, 3 lights)."""
+    path = os.path.join(reference_dir, "Resource", "Data", "proj2.xml")
+    pack, cam = load_scene(path, resource_root=reference_dir)
+    cam.width, cam.height = 64, 48
+    cfg = RenderConfig(spp=2, gi_bounces=1, extra_refr_levels=0, chunk_rays=4096,
+                       texture_sample_count=1)
+    img = render_image(pack, cam, cfg, seed=0)
+    assert np.isfinite(img).all()
+    assert img.std() > 0.01
