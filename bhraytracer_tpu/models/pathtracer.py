@@ -37,6 +37,7 @@ from bhraytracer_tpu.ops.camera import CameraParams, camera_basis, from_scene_ca
 from bhraytracer_tpu.ops.linalg import (
     BIG,
     acos_safe,
+    safe_pow,
     cross,
     dot,
     norm,
@@ -155,7 +156,7 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, key):
     d_vl, d_theta = sample_along_light_direction(
         normalize(vl_c), mtl.gloss, _uni(key, 0, (n,)), _uni(key, 1, (n,))
     )
-    p_diffuse = jnp.power(jnp.maximum(jnp.cos(d_theta), 0.0), mtl.gloss)
+    p_diffuse = safe_pow(jnp.cos(d_theta), mtl.gloss)
 
     r = _uni(key, 2, (n,))
     big_r = jnp.sqrt(r) * lsize
@@ -241,7 +242,7 @@ def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, ke
         pack, new_spec_color, mtl.specular_tm, surf.uvw, surf.duvw, taps=cfg.texture_sample_count
     )
     hn = jnp.maximum(dot(vh, vn), 0.0)
-    brdf_cos = diff * cos_theta[:, None] + spec * jnp.power(hn, mtl.gloss)[:, None]
+    brdf_cos = diff * cos_theta[:, None] + spec * safe_pow(hn, mtl.gloss)[:, None]
     out = jnp.where((cos_theta > 0)[:, None], irrad * brdf_cos, 0.0)
     out = _clamp_white(out)
     # NaN in direct -> black (MtlBlinn.cpp:344-347).
@@ -267,7 +268,7 @@ def _gi_sample(pack, cfg, surf, mtl: Mtl, new_spec_color, vn, vv, key):
     s_dir, s_theta = sample_along_light_direction(
         vr, mtl.gloss, _uni(key, 12, (n,)), _uni(key, 13, (n,))
     )
-    p_st = jnp.power(jnp.maximum(jnp.cos(s_theta), 0.0), mtl.gloss)
+    p_st = safe_pow(jnp.cos(s_theta), mtl.gloss)
 
     pd_norm = safe_div(kd * p_dt, kd * p_dt + ks * p_st)
     use_spec = _uni(key, 14, (n,)) >= pd_norm
@@ -450,8 +451,9 @@ def _shade_level(
     cos_phi1 = jnp.clip(dot(vn, vv), 0.0, 1.0)
 
     # Schlick Fresnel folded into the specular color (MtlBlinn.cpp:107-114).
-    r0 = jnp.power((1.0 - mtl.ior) / (1.0 + mtl.ior), 2.0)
-    fres = r0 + (1.0 - r0) * jnp.power(1.0 - cos_phi1, 5.0)
+    r0_base = (1.0 - mtl.ior) / (1.0 + mtl.ior)
+    r0 = r0_base * r0_base
+    fres = r0 + (1.0 - r0) * safe_pow(1.0 - cos_phi1, 5.0)
     new_spec_color = _clamp_white(mtl.specular + fres[:, None] * mtl.refraction)
     refr_eff = (1.0 - fres)[:, None] * mtl.refraction
 

@@ -21,7 +21,16 @@ def cross(a, b):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # Floor strictly above 0: d(sqrt)/dx at 0 is inf and would poison
+    # reverse-mode through any downstream jnp.where.
+    return jnp.sqrt(jnp.maximum(x, 1e-24))
+
+
+def safe_pow(x, p):
+    """x**p with zero (not NaN) gradient where x <= 0. jnp.power computes
+    exp(p log x); at x == 0 the VJP is NaN even though the forward is 0."""
+    x_safe = jnp.where(x > 0.0, x, 1.0)
+    return jnp.where(x > 0.0, jnp.power(x_safe, p), 0.0)
 
 
 def safe_div(a, b, eps: float = 1e-30):

@@ -124,7 +124,7 @@ def environment_uvw(direction):
     dx, dy, dz = direction[..., 0], direction[..., 1], direction[..., 2]
     denom = jnp.abs(dx) + jnp.abs(dy)
     valid = (jnp.abs(dz) <= 1.0) & (denom > 0.0)
-    z = jnp.arcsin(jnp.clip(-dz, -1.0, 1.0)) / jnp.pi + 0.5
+    z = jnp.arcsin(jnp.clip(-dz, -1.0 + 1e-7, 1.0 - 1e-7)) / jnp.pi + 0.5
     safe = jnp.where(denom > 0.0, denom, 1.0)
     x = dx / safe
     y = dy / safe

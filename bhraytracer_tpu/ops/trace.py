@@ -364,7 +364,11 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y) -> Surface:
     a = dot(dl, dl)
     b = 2.0 * dot(dl, ol)
     c = dot(ol, ol) - 1.0
-    sq = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+    # safe_sqrt: non-sphere lanes run this branch with disc <= 0; a plain
+    # sqrt(0) has an infinite VJP that jnp.where would turn into NaN.
+    from bhraytracer_tpu.ops.linalg import safe_sqrt
+
+    sq = safe_sqrt(b * b - 4.0 * a * c)
     inv2a = 1.0 / jnp.maximum(2.0 * a, 1e-30)
     t_s = jnp.where(hit.front, (-b - sq) * inv2a, (-b + sq) * inv2a)
     p_s = ol + t_s[:, None] * dl
