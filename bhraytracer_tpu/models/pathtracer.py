@@ -228,7 +228,8 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, key, mask):
     )
 
 
-def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, key, mask):
+def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, key, mask,
+                  pmap=None):
     n = surf.p.shape[0]
     lidx = _select_light(pack, _uni(key, 7, (n,)))
     vl = _sample_in_light(pack, lidx, surf, mtl, new_spec_color, key)
@@ -244,6 +245,19 @@ def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, ke
     hn = jnp.maximum(dot(vh, vn), 0.0)
     brdf_cos = diff * cos_theta[:, None] + spec * safe_pow(hn, mtl.gloss)[:, None]
     out = jnp.where((cos_theta > 0)[:, None], irrad * brdf_cos, 0.0)
+
+    if pmap is not None:
+        # Caustic photon gather added to the direct term (MtlBlinn.cpp:329-342).
+        from bhraytracer_tpu.models.photonmap import gather_irradiance
+
+        c_irr, c_vl = gather_irradiance(pmap, surf.p, vn)
+        c_cos = -dot(c_vl, vn)
+        c_hn = jnp.maximum(dot(normalize(c_vl + vv), vn), 0.0)
+        c_brdf = diff + spec * (
+            safe_pow(c_hn, mtl.gloss) / jnp.maximum(c_cos, 1e-30)
+        )[:, None]
+        out = out + jnp.where((c_cos > 0)[:, None], c_brdf * c_irr, 0.0)
+
     out = _clamp_white(out)
     # NaN in direct -> black (MtlBlinn.cpp:344-347).
     out = jnp.where(jnp.isnan(out[:, 0:1]), 0.0, out)
@@ -438,7 +452,7 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
 
 
 def _shade_level(
-    pack, cfg: RenderConfig, tasks: Tasks, level: int, key, dd_x, dd_y
+    pack, cfg: RenderConfig, tasks: Tasks, level: int, key, dd_x, dd_y, pmap=None
 ) -> Tuple[LevelRecord, Tasks, Surface]:
     n = tasks.o.shape[0]
     hit = trace_closest(pack, tasks.o, tasks.d, "front")
@@ -459,7 +473,8 @@ def _shade_level(
 
     # --- direct light ---
     direct = _direct_light(
-        pack, cfg, surf, mtl, new_spec_color, vn, vv, jax.random.fold_in(key, 1), shade
+        pack, cfg, surf, mtl, new_spec_color, vn, vv, jax.random.fold_in(key, 1), shade,
+        pmap=pmap,
     )
 
     # --- refraction chain ---
@@ -575,7 +590,7 @@ def _combine_level(
 # ---------------------------------------------------------------------------
 
 
-def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y):
+def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y, pmap=None):
     """Radiance for camera rays (o, d) with per-pixel background uv
     (Main.cpp:158-168). Returns (N,3) linear radiance."""
     n = o.shape[0]
@@ -588,7 +603,8 @@ def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y):
     recs = []
     for level in range(cfg.max_levels):
         rec, tasks, _ = _shade_level(
-            pack, cfg, tasks, level, jax.random.fold_in(key, 100 + level), dd_x, dd_y
+            pack, cfg, tasks, level, jax.random.fold_in(key, 100 + level), dd_x, dd_y,
+            pmap=pmap,
         )
         recs.append(rec)
 
@@ -610,7 +626,8 @@ def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y):
 # ---------------------------------------------------------------------------
 
 
-def _render_chunk(pack, cfg: RenderConfig, cam: CameraParams, width, height, px, py, key):
+def _render_chunk(pack, cfg: RenderConfig, cam: CameraParams, width, height, px, py, key,
+                  pmap=None):
     """Radiance for one chunk of (pixel, sample) lanes. px/py: (N,)."""
     n = px.shape[0]
     u = jax.random.uniform(jax.random.fold_in(key, 0), (n, 2))
@@ -620,7 +637,9 @@ def _render_chunk(pack, cfg: RenderConfig, cam: CameraParams, width, height, px,
         [px.astype(jnp.float32) / width, py.astype(jnp.float32) / height, jnp.zeros(n)],
         -1,
     )
-    return trace_radiance(pack, cfg, o, d, bg_uv, jax.random.fold_in(key, 1), dd_x, dd_y)
+    return trace_radiance(
+        pack, cfg, o, d, bg_uv, jax.random.fold_in(key, 1), dd_x, dd_y, pmap=pmap
+    )
 
 
 _render_chunk_jit = jax.jit(
@@ -628,9 +647,20 @@ _render_chunk_jit = jax.jit(
 )
 
 
-def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0):
+def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0,
+                 photon_map=None):
     """Render a full image: returns (H, W, 3) float32 in [0,1] after the
-    reference's gamma (Main.cpp:216-231). `camera` is a scene-desc Camera."""
+    reference's gamma (Main.cpp:216-231). `camera` is a scene-desc Camera.
+
+    With cfg.use_photon_map, a caustic photon map is built first (or pass a
+    prebuilt PhotonMapPack) — the BeginRender preprocessing pass
+    (Main.cpp:195-198)."""
+    if cfg.use_photon_map and photon_map is None:
+        from bhraytracer_tpu.models.photonmap import build_photon_map
+
+        photon_map = build_photon_map(pack, cfg, seed=seed, caustic=True)
+    if not cfg.use_photon_map:
+        photon_map = None
     cam = from_scene_camera(camera)
     width, height = camera.width, camera.height
     spp = cfg.spp
@@ -648,7 +678,7 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
             px = jnp.asarray(idx % width, jnp.int32)
             py = jnp.asarray(idx // width, jnp.int32)
             ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
-            rad = _render_chunk_jit(pack, cfg, cam, width, height, px, py, ck)
+            rad = _render_chunk_jit(pack, cfg, cam, width, height, px, py, ck, photon_map)
             accum[start:stop] += np.asarray(rad, np.float32)
 
     img = accum / spp
