@@ -1,0 +1,128 @@
+"""Learned denoiser head — the TPU-native replacement for Intel OIDN.
+
+The reference pipes the finished float image through OIDN's pretrained "RT"
+CNN filter (DenoiseImage, Main.cpp:60-95: color in -> color out, optional
+albedo/normal auxiliaries). OIDN is a black-box x86 binary; here the same
+interface is a small convolutional U-Net in flax, trained self-supervised on
+the renderer's own (low-spp, high-spp) image pairs. Convolutions run on the
+MXU in bf16-friendly shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class DenoiserUNet(nn.Module):
+    """U-Net-lite: 2 downsamples, skip connections, residual output."""
+
+    features: Sequence[int] = (16, 32, 64)
+    aux_channels: int = 0  # 0 = color only; 6 adds albedo + normal
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 3 + aux). H, W divisible by 4.
+        color = x[..., :3]
+        skips = []
+        h = x
+        for f in self.features[:-1]:
+            h = nn.Conv(f, (3, 3), padding="SAME")(h)
+            h = nn.relu(h)
+            h = nn.Conv(f, (3, 3), padding="SAME")(h)
+            h = nn.relu(h)
+            skips.append(h)
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        h = nn.Conv(self.features[-1], (3, 3), padding="SAME")(h)
+        h = nn.relu(h)
+        for f, skip in zip(reversed(self.features[:-1]), reversed(skips)):
+            b, hh, ww, c = h.shape
+            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = nn.Conv(f, (3, 3), padding="SAME")(h)
+            h = nn.relu(h)
+        delta = nn.Conv(3, (3, 3), padding="SAME")(h)
+        # Residual: predict a correction to the noisy color.
+        return color + delta
+
+
+def init_denoiser(key, aux_channels: int = 0, size: int = 32):
+    model = DenoiserUNet(aux_channels=aux_channels)
+    params = model.init(key, jnp.zeros((1, size, size, 3 + aux_channels)))
+    return model, params
+
+
+def _pad4(img):
+    h, w = img.shape[-3:-1]
+    ph = (-h) % 4
+    pw = (-w) % 4
+    if ph or pw:
+        pad = [(0, 0)] * (img.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+        img = jnp.pad(img, pad, mode="edge")
+    return img, h, w
+
+
+def denoise(model: DenoiserUNet, params, img, aux: Optional[jnp.ndarray] = None):
+    """Denoise an (H, W, 3) image (OIDN filter.execute equivalent)."""
+    x = jnp.asarray(img)[None]
+    if aux is not None:
+        x = jnp.concatenate([x, jnp.asarray(aux)[None]], axis=-1)
+    x, h, w = _pad4(x)
+    out = model.apply(params, x)
+    return out[0, :h, :w]
+
+
+def train_denoiser(
+    model: DenoiserUNet,
+    params,
+    noisy: np.ndarray,  # (N, H, W, 3+aux)
+    clean: np.ndarray,  # (N, H, W, 3)
+    steps: int = 200,
+    lr: float = 1e-3,
+    batch: int = 4,
+    seed: int = 0,
+) -> Tuple[object, list]:
+    """Self-supervised training on (low-spp, high-spp) render pairs."""
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    noisy = jnp.asarray(noisy)
+    clean = jnp.asarray(clean)
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        def loss_fn(p):
+            pred = model.apply(p, noisy[idx])
+            return jnp.mean((pred - clean[idx]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    rng = np.random.default_rng(seed)
+    losses = []
+    for _ in range(steps):
+        idx = jnp.asarray(rng.integers(0, noisy.shape[0], size=batch))
+        params, opt_state, loss = step(params, opt_state, idx)
+        losses.append(float(loss))
+    return params, losses
+
+
+def render_training_pairs(pack, camera, base_cfg, n_pairs: int = 4,
+                          noisy_spp: int = 2, clean_spp: int = 64, seed: int = 0):
+    """Render (noisy, clean) pairs with the project's own renderer."""
+    import dataclasses
+
+    from bhraytracer_tpu.models.pathtracer import render_image
+
+    noisy, clean = [], []
+    for i in range(n_pairs):
+        cfg_n = dataclasses.replace(base_cfg, spp=noisy_spp, use_gamma=False)
+        cfg_c = dataclasses.replace(base_cfg, spp=clean_spp, use_gamma=False)
+        noisy.append(render_image(pack, camera, cfg_n, seed=seed + 1000 + i))
+        clean.append(render_image(pack, camera, cfg_c, seed=seed + 2000 + i))
+    return np.stack(noisy), np.stack(clean)

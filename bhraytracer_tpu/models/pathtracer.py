@@ -648,7 +648,7 @@ _render_chunk_jit = jax.jit(
 
 
 def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0,
-                 photon_map=None):
+                 photon_map=None, denoiser=None):
     """Render a full image: returns (H, W, 3) float32 in [0,1] after the
     reference's gamma (Main.cpp:216-231). `camera` is a scene-desc Camera.
 
@@ -684,7 +684,15 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     img = accum / spp
     if cfg.use_gamma:
         img = np.power(np.maximum(img, 0.0), 1.0 / cfg.gamma)
-    return img.reshape(height, width, 3)
+    img = img.reshape(height, width, 3)
+    if cfg.use_denoiser and denoiser is not None:
+        # Denoise the (post-gamma) image, as the reference does with OIDN
+        # (Main.cpp:220-238: colorArray holds gamma-corrected values).
+        from bhraytracer_tpu.models.denoiser import denoise
+
+        model, dparams = denoiser
+        img = np.asarray(denoise(model, dparams, jnp.asarray(img, jnp.float32)))
+    return img
 
 
 def image_to_u8(img: np.ndarray) -> np.ndarray:
