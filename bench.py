@@ -23,9 +23,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bhraytracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _tiny_scene
     from bhraytracer_tpu.config import RenderConfig
-    from bhraytracer_tpu.models.pathtracer import _render_chunk
+    from bhraytracer_tpu.models.pathtracer import render_chunk_staged
     from bhraytracer_tpu.ops.camera import from_scene_camera
 
     pack, cam = _tiny_scene()
@@ -45,24 +49,31 @@ def main():
     px = jnp.asarray(idx % cam.width, jnp.int32)
     py = jnp.asarray(idx // cam.width, jnp.int32)
 
-    fn = jax.jit(
-        lambda pk, cm, x, y, k: _render_chunk(pk, cfg, cm, cam.width, cam.height, x, y, k)
-    )
     key = jax.random.PRNGKey(0)
-    fn(pack, cam_p, px, py, key).block_until_ready()  # compile
+
+    def run(i):
+        acc = jnp.zeros((n, 3))
+        zb = jnp.full((n,), 1e30)
+        return render_chunk_staged(
+            pack, cfg, cam_p, cam.width, cam.height, px, py,
+            jax.random.fold_in(key, i), None, acc, zb, True,
+        )
+
+    jax.block_until_ready(run(0))  # compile all stages
 
     iters = 10
     t0 = time.perf_counter()
+    out = None
     for i in range(iters):
-        out = fn(pack, cam_p, px, py, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        out = run(i + 1)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     # Segments per camera lane: per tree level, each task lane issues one
     # closest-hit and one shadow query (refraction-chain iterations add more;
     # not counted — conservative).
-    lanes_per_camera_ray = sum(cfg.level_width(l) for l in range(cfg.max_levels))
-    segments = n * iters * lanes_per_camera_ray * 2
+    total_lanes = sum(cfg.level_sizes(n))
+    segments = total_lanes * iters * 2
     segs_per_sec = segments / dt
 
     print(

@@ -1,0 +1,203 @@
+"""Command-line interface — the offline replacement for the reference's
+interactive GLUT viewport (viewport.cpp) and the PhotonMapViewer tool.
+
+  python -m bhraytracer_tpu render scene.xml -o out.png [--spp N] ...
+      BeginRender + SaveImages (Main.cpp:178-242, 414-417); --zbuffer and
+      --probe replace the viewport's z-view and click-to-inspect
+      (viewport.cpp:375-387, 489-500).
+
+  python -m bhraytracer_tpu photonviz map.dat -o out.png
+      PhotonMapViewer's point-cloud view (PhotonMapViz.cpp:159-231) as an
+      orthographic splat render.
+
+  python -m bhraytracer_tpu bench / info
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_render_args(p):
+    p.add_argument("scene", help="scene XML file (reference dialect)")
+    p.add_argument("-o", "--output", default="out.png")
+    p.add_argument("--resource-root", default=None,
+                   help="root for OBJ/texture paths (default: scene dir)")
+    p.add_argument("--spp", type=int, default=32)
+    p.add_argument("--gi-bounces", type=int, default=3)
+    p.add_argument("--tir-bounces", type=int, default=16)
+    p.add_argument("--extra-refr-levels", type=int, default=2)
+    p.add_argument("--width", type=int, default=None, help="override camera width")
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk-rays", type=int, default=16384)
+    p.add_argument("--no-gamma", action="store_true")
+    p.add_argument("--texture-taps", type=int, default=32)
+    p.add_argument("--photon-map", action="store_true",
+                   help="build + use a caustic photon map (USE_PhotonMap)")
+    p.add_argument("--photon-count", type=int, default=1 << 17)
+    p.add_argument("--save-photons", default=None,
+                   help="write the built photon map to a reference-format .dat")
+    p.add_argument("--zbuffer", default=None, help="also save the z-buffer PNG")
+    p.add_argument("--probe", type=int, nargs=2, metavar=("X", "Y"), default=None,
+                   help="print color + z at a pixel (viewport click inspector)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def cmd_render(args) -> int:
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from bhraytracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from bhraytracer_tpu.config import RenderConfig
+    from bhraytracer_tpu.models.pathtracer import (
+        image_to_u8,
+        render_image,
+        zbuffer_to_u8,
+    )
+    from bhraytracer_tpu.scene.xml_loader import load_scene
+    from bhraytracer_tpu.utils.png import write_png
+
+    pack, cam = load_scene(args.scene, resource_root=args.resource_root)
+    if args.width:
+        cam.width = args.width
+    if args.height:
+        cam.height = args.height
+    cfg = RenderConfig(
+        spp=args.spp,
+        gi_bounces=args.gi_bounces,
+        tir_bounces=args.tir_bounces,
+        extra_refr_levels=args.extra_refr_levels,
+        chunk_rays=args.chunk_rays,
+        use_gamma=not args.no_gamma,
+        texture_sample_count=args.texture_taps,
+        use_photon_map=args.photon_map,
+        photon_count=args.photon_count,
+    )
+    photon_map = None
+    if args.photon_map:
+        from bhraytracer_tpu.models.photonmap import build_photon_map
+
+        t0 = time.time()
+        photon_map = build_photon_map(pack, cfg, seed=args.seed, caustic=True)
+        print(f"photon map: {int(photon_map.pos.shape[0])} photons "
+              f"in {time.time() - t0:.1f}s")
+        if args.save_photons:
+            from bhraytracer_tpu.io.photon_dat import write_dat
+
+            write_dat(args.save_photons, np.asarray(photon_map.pos),
+                      np.asarray(photon_map.dirn), np.asarray(photon_map.power))
+            print(f"wrote {args.save_photons}")
+
+    t0 = time.time()
+    img, aux = render_image(pack, cam, cfg, seed=args.seed,
+                            photon_map=photon_map, return_aux=True)
+    dt = time.time() - t0
+    # Render-time report, like the viewport's completion timer
+    # (viewport.cpp:399-410).
+    print(f"rendered {cam.width}x{cam.height} @ {cfg.spp}spp in "
+          f"{int(dt // 3600)}:{int(dt % 3600 // 60):02d}:{dt % 60:05.2f}")
+    write_png(args.output, image_to_u8(img))
+    print(f"wrote {args.output}")
+    if args.zbuffer:
+        write_png(args.zbuffer, zbuffer_to_u8(aux["zbuffer"]))
+        print(f"wrote {args.zbuffer}")
+    if args.probe:
+        x, y = args.probe
+        c = img[y, x]
+        z = aux["zbuffer"][y, x]
+        print(f"pixel ({x}, {y}): color ({c[0]:.6f}, {c[1]:.6f}, {c[2]:.6f}) z {z:.6f}")
+    return 0
+
+
+def cmd_photonviz(args) -> int:
+    from bhraytracer_tpu.io.photon_dat import read_dat
+    from bhraytracer_tpu.utils.png import write_png
+
+    pos, dirn, power = read_dat(args.dat)
+    n = pos.shape[0]
+    print(f"{n} photons")
+    axes = {"x": (1, 2), "y": (0, 2), "z": (0, 1)}[args.axis]
+    a = pos[:, axes[0]]
+    b = pos[:, axes[1]]
+    lo_a, hi_a = np.percentile(a, [1, 99])
+    lo_b, hi_b = np.percentile(b, [1, 99])
+    res = args.size
+    ia = np.clip(((a - lo_a) / max(hi_a - lo_a, 1e-9) * (res - 1)), 0, res - 1).astype(int)
+    ib = np.clip(((b - lo_b) / max(hi_b - lo_b, 1e-9) * (res - 1)), 0, res - 1).astype(int)
+    img = np.zeros((res, res, 3), np.float64)
+    np.add.at(img, (res - 1 - ib, ia), power)
+    if img.max() > 0:
+        img = img / np.percentile(img[img > 0], 99)
+    write_png(args.output, (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from bhraytracer_tpu.scene.xml_loader import parse_scene_xml
+
+    sd = parse_scene_xml(args.scene, resource_root=args.resource_root)
+    info = {
+        "nodes": [
+            {"kind": n.kind, "name": n.name, "material": n.material}
+            for n in sd.nodes
+        ],
+        "materials": [m.name for m in sd.materials],
+        "lights": [
+            {"kind": li.kind, "name": li.name, "gray": li.gray} for li in sd.lights
+        ],
+        "meshes": [
+            {"name": m.name, "verts": int(m.verts.shape[0]), "faces": int(m.faces.shape[0])}
+            for m in sd.meshes
+        ],
+        "textures": [t.name for t in sd.textures],
+        "camera": {
+            "width": sd.camera.width,
+            "height": sd.camera.height,
+            "fov": sd.camera.fov,
+        },
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="bhraytracer_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene XML to PNG")
+    _add_render_args(pr)
+
+    pv = sub.add_parser("photonviz", help="visualize a photon .dat as PNG")
+    pv.add_argument("dat")
+    pv.add_argument("-o", "--output", default="photons.png")
+    pv.add_argument("--axis", choices=["x", "y", "z"], default="z",
+                    help="projection axis")
+    pv.add_argument("--size", type=int, default=512)
+
+    pi = sub.add_parser("info", help="print scene structure as JSON")
+    pi.add_argument("scene")
+    pi.add_argument("--resource-root", default=None)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    if args.cmd == "photonviz":
+        return cmd_photonviz(args)
+    if args.cmd == "info":
+        return cmd_info(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -72,19 +74,31 @@ class RenderConfig:
     # small tir_bounces (the scan always pays max iterations).
     differentiable: bool = False
 
+    # Refraction-child compaction: each level reserves capacity for at most
+    # ceil(N * refr_capacity) refraction children (rounded up to 128 lanes).
+    # The reference recursion expands every refractive hit; compaction keeps
+    # the wavefront from doubling per level — overflowing children (rare:
+    # most lanes hit non-refractive materials) contribute black.
+    refr_capacity: float = 0.25
+
     @property
     def max_levels(self) -> int:
         """Total shade-tree depth (levels 0..max_levels-1 are shaded)."""
         return self.gi_bounces + 1 + self.extra_refr_levels
 
-    def level_width(self, level: int) -> int:
-        """Task-count multiplier at a tree level, per camera ray.
+    def refr_cap(self, n: int) -> int:
+        """Refraction-child slot count for a level of n tasks."""
+        k = int(np.ceil(n * self.refr_capacity))
+        return max(128, (k + 127) // 128 * 128)
 
-        Levels 0..gi_bounces+1 double (each task spawns a refraction child
-        and a GI child); deeper levels spawn refraction children only
-        (GI is cut once the budget goes negative: MtlBlinn.cpp:386).
-        """
-        return 1 << min(level, self.gi_bounces + 1)
+    def level_sizes(self, chunk: int):
+        """Task counts per level for a camera chunk of `chunk` lanes."""
+        sizes = [chunk]
+        for level in range(self.max_levels - 1):
+            n = sizes[-1]
+            k = self.refr_cap(n)
+            sizes.append((n if self.gi_active(level) else 0) + k)
+        return sizes
 
     def gi_active(self, level: int) -> bool:
         """GI runs while the remaining budget gi_bounces - level >= 0."""

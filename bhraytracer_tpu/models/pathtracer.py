@@ -71,19 +71,24 @@ def _uni(key, tag: int, shape):
 
 
 class LevelRecord(NamedTuple):
-    """Per-task values saved at each tree level for the backward combine."""
+    """Per-task values saved at each tree level for the backward combine.
+
+    Refraction children are COMPACTED: the K = cfg.refr_cap(N) slots hold the
+    chain results for the (at most K) refractive lanes; `refr_slot` maps each
+    parent to its slot (-1 = no refraction child / dropped on overflow)."""
 
     active: jnp.ndarray  # (N,) task holds a real ray
     hit: jnp.ndarray  # (N,)
     z: jnp.ndarray  # (N,) hit parameter (world-scale for unit dirs)
     direct: jnp.ndarray  # (N,3) clamped direct-light term
-    refr_has_child: jnp.ndarray  # (N,)
-    refr_mult: jnp.ndarray  # (N,3) tint applied to the refr child's radiance
-    refr_absorb: jnp.ndarray  # (N,3) Beer-Lambert coefficient (0 = none)
-    refr_env: jnp.ndarray  # (N,3) contribution if the refr child misses
-    refr_add: jnp.ndarray  # (N,3) terminal contribution when no child
     gi_albedo: jnp.ndarray  # (N,3) lobe albedo multiplying the GI child
     gi_env: jnp.ndarray  # (N,3) contribution if the GI child misses
+    refr_slot: jnp.ndarray  # (N,) i32 slot in the compacted refr arrays
+    refr_has_child: jnp.ndarray  # (K,)
+    refr_mult: jnp.ndarray  # (K,3) tint applied to the refr child's radiance
+    refr_absorb: jnp.ndarray  # (K,3) Beer-Lambert coefficient (0 = none)
+    refr_env: jnp.ndarray  # (K,3) contribution if the refr child misses
+    refr_add: jnp.ndarray  # (K,3) terminal contribution when no child
 
 
 class Tasks(NamedTuple):
@@ -477,18 +482,38 @@ def _shade_level(
         pmap=pmap,
     )
 
-    # --- refraction chain ---
+    # --- refraction chain on COMPACTED refractive lanes ---
+    # The recursive reference expands every refractive hit; here candidates
+    # are gathered into K slots so the (expensive, multi-trace) TIR chain
+    # and the next level's refraction children stay narrow.
+    has_refr = jnp.any(refr_eff != 0.0, axis=1)  # !refraction.IsBlack()
+    chain_cand = shade & has_refr & (tasks.bounce > 0)
+    k_cap = cfg.refr_cap(n)
+    order = jnp.argsort(~chain_cand, stable=True)  # candidates first
+    sel = order[:k_cap]
+    sel_valid = chain_cand[sel]
+
+    def g(x):
+        return x[sel]
+
+    mtl_k = Mtl(*[g(f) for f in mtl])
+    surf_k = Surface(*[g(f) for f in surf])
     case, ro, rd, bounce_left = _refraction_chain(
-        pack, cfg, surf, mtl, vn, vv, cos_phi1, refr_eff,
-        shade, tasks.bounce, jax.random.fold_in(key, 2),
+        pack, cfg, surf_k, mtl_k, g(vn), g(vv), g(cos_phi1), g(refr_eff),
+        sel_valid, g(tasks.bounce), jax.random.fold_in(key, 2),
     )
-    refr_has_child = (case == _CASE_FRONT) | (case == _CASE_OUT)
+    refr_has_child = ((case == _CASE_FRONT) | (case == _CASE_OUT)) & sel_valid
     is_out = (case == _CASE_OUT)[:, None]
-    refr_mult = jnp.where(is_out, refr_eff, 1.0)
-    refr_absorb = jnp.where(is_out, mtl.absorption, 0.0)
+    refr_mult = jnp.where(is_out, g(refr_eff), 1.0)
+    refr_absorb = jnp.where(is_out, mtl_k.absorption, 0.0)
     env_r, env_r_valid = sample_environment(pack, rd)
     refr_env = jnp.where(env_r_valid[:, None], refr_mult * env_r, 0.0)
     refr_add = jnp.where((case == _CASE_MISS)[:, None], NAN_PURPLE, 0.0)
+    refr_slot = (
+        jnp.full((n,), -1, jnp.int32)
+        .at[sel]
+        .set(jnp.where(sel_valid, jnp.arange(k_cap, dtype=jnp.int32), -1))
+    )
 
     # --- GI lobe ---
     gi_on = cfg.gi_active(level)
@@ -497,8 +522,6 @@ def _shade_level(
             pack, cfg, surf, mtl, new_spec_color, vn, vv, jax.random.fold_in(key, 3)
         )
     else:
-        gi_o = tasks.o
-        gi_d = tasks.d
         gi_albedo = jnp.zeros((n, 3))
         gi_env = jnp.zeros((n, 3))
 
@@ -507,31 +530,28 @@ def _shade_level(
         hit=hit.hit,
         z=surf.z,
         direct=direct,
-        refr_has_child=refr_has_child & shade,
+        gi_albedo=gi_albedo,
+        gi_env=gi_env,
+        refr_slot=refr_slot,
+        refr_has_child=refr_has_child,
         refr_mult=refr_mult,
         refr_absorb=refr_absorb,
         refr_env=refr_env,
         refr_add=refr_add,
-        gi_albedo=gi_albedo,
-        gi_env=gi_env,
     )
 
-    # --- children ---
-    refr_child = Tasks(o=ro, d=rd, active=shade & refr_has_child, bounce=bounce_left)
+    # --- children: [gi children (N)] ++ [compacted refr children (K)] ---
+    refr_children = Tasks(o=ro, d=rd, active=refr_has_child, bounce=bounce_left)
     if gi_on:
-        gi_child = Tasks(o=gi_o, d=gi_d, active=shade, bounce=tasks.bounce)
-
-        def interleave(a, b):
-            return jnp.stack([a, b], axis=1).reshape((2 * n,) + a.shape[1:])
-
+        gi_children = Tasks(o=gi_o, d=gi_d, active=shade, bounce=tasks.bounce)
         children = Tasks(
-            o=interleave(refr_child.o, gi_child.o),
-            d=interleave(refr_child.d, gi_child.d),
-            active=interleave(refr_child.active, gi_child.active),
-            bounce=interleave(refr_child.bounce, gi_child.bounce),
+            o=jnp.concatenate([gi_children.o, refr_children.o]),
+            d=jnp.concatenate([gi_children.d, refr_children.d]),
+            active=jnp.concatenate([gi_children.active, refr_children.active]),
+            bounce=jnp.concatenate([gi_children.bounce, refr_children.bounce]),
         )
     else:
-        children = refr_child
+        children = refr_children
     return rec, children, surf
 
 
@@ -544,37 +564,47 @@ def _combine_level(
     child_hit,
 ):
     """Backward combine: Shade's stage sums with clamp + early-out semantics
-    (MtlBlinn.cpp:117-131)."""
-    n = rec.hit.shape[0]
+    (MtlBlinn.cpp:117-131). Children arrive as [gi (N)] ++ [refr (K)]."""
+    n = rec.active.shape[0]
+    k_cap = rec.refr_has_child.shape[0]
     gi_on = cfg.gi_active(level)
     if gi_on:
-        child_rad = child_rad.reshape(n, 2, 3)
-        child_z = child_z.reshape(n, 2)
-        child_hit = child_hit.reshape(n, 2)
-        c0_rad, c1_rad = child_rad[:, 0], child_rad[:, 1]
-        c0_z, c1_z = child_z[:, 0], child_z[:, 1]
-        c0_hit, c1_hit = child_hit[:, 0], child_hit[:, 1]
+        gi_rad, gi_z, gi_hit = child_rad[:n], child_z[:n], child_hit[:n]
+        r_rad, r_z, r_hit = child_rad[n:], child_z[n:], child_hit[n:]
     else:
-        c0_rad, c0_z, c0_hit = child_rad, child_z, child_hit
+        r_rad, r_z, r_hit = child_rad, child_z, child_hit
 
-    absorb = jnp.exp(-rec.refr_absorb * c0_z[:, None])
+    slot = rec.refr_slot
+    valid = slot >= 0
+    k = jnp.clip(slot, 0, k_cap - 1)
+    hc = rec.refr_has_child[k]
+    mult = rec.refr_mult[k]
+    absorb_c = rec.refr_absorb[k]
+    env = rec.refr_env[k]
+    add = rec.refr_add[k]
+    c0_rad = r_rad[k]
+    c0_z = r_z[k]
+    c0_hit = r_hit[k]
+
+    absorb = jnp.exp(-absorb_c * c0_z[:, None])
     refr = jnp.where(
-        rec.refr_has_child[:, None],
+        hc[:, None],
         jnp.where(
             c0_hit[:, None],
-            _clamp_white(rec.refr_mult * absorb * c0_rad),
-            _clamp_white(rec.refr_env),
+            _clamp_white(mult * absorb * c0_rad),
+            _clamp_white(env),
         ),
-        _clamp_white(rec.refr_add),
+        _clamp_white(add),
     )
+    refr = jnp.where(valid[:, None], refr, 0.0)
     out = refr
     sat = jnp.all(out >= 1.0, axis=1)
 
     if gi_on:
         gi_hit_term = jnp.where(
-            (c1_hit & (c1_z > cfg.bias))[:, None], c1_rad * rec.gi_albedo, 0.0
+            (gi_hit & (gi_z > cfg.bias))[:, None], gi_rad * rec.gi_albedo, 0.0
         )
-        gi = jnp.where(c1_hit[:, None], gi_hit_term, rec.gi_env)
+        gi = jnp.where(gi_hit[:, None], gi_hit_term, rec.gi_env)
         gi = jnp.where(jnp.isnan(gi[:, 0:1]), NAN_PURPLE, gi)
         gi = _clamp_white(gi)
         out = out + jnp.where(sat[:, None], 0.0, gi)
@@ -618,7 +648,10 @@ def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y, pmap=N
         child_rad, child_z, child_hit = rad, recs[level].z, recs[level].hit
 
     bg = sample_background(pack, bg_uv)
-    return jnp.where(recs[0].hit[:, None], child_rad, bg)
+    rad = jnp.where(recs[0].hit[:, None], child_rad, bg)
+    # Aux buffers (RenderImage z-buffer etc., scene.h:532-536): primary z.
+    z0 = jnp.where(recs[0].hit, recs[0].z, BIG)
+    return rad, z0
 
 
 # ---------------------------------------------------------------------------
@@ -637,9 +670,10 @@ def _render_chunk(pack, cfg: RenderConfig, cam: CameraParams, width, height, px,
         [px.astype(jnp.float32) / width, py.astype(jnp.float32) / height, jnp.zeros(n)],
         -1,
     )
-    return trace_radiance(
+    rad, z0 = trace_radiance(
         pack, cfg, o, d, bg_uv, jax.random.fold_in(key, 1), dd_x, dd_y, pmap=pmap
     )
+    return rad, z0
 
 
 _render_chunk_jit = jax.jit(
@@ -647,8 +681,73 @@ _render_chunk_jit = jax.jit(
 )
 
 
+
+
+# --- staged (per-level jit) inference driver -------------------------------
+# One giant 6-level XLA program takes minutes to compile on TPU; compiling
+# each level separately is 6 small programs (seconds each) with results kept
+# on device between calls. Inference-only: gradients use the monolithic
+# _render_chunk, which AD can see end to end.
+
+
+def _stage_raygen(pack, cfg, cam, width, height, px, py, key):
+    n = px.shape[0]
+    u = jax.random.uniform(jax.random.fold_in(key, 0), (n, 2))
+    o, d = gen_rays(cam, width, height, px, py, u)
+    _, dd_x, dd_y = camera_basis(cam, width, height)
+    bg_uv = jnp.stack(
+        [px.astype(jnp.float32) / width, py.astype(jnp.float32) / height, jnp.zeros(n)],
+        -1,
+    )
+    bg = sample_background(pack, bg_uv)
+    return o, d, bg, dd_x, dd_y
+
+
+_stage_raygen_jit = jax.jit(_stage_raygen, static_argnames=("cfg", "width", "height"))
+_shade_level_jit = jax.jit(_shade_level, static_argnames=("cfg", "level"))
+_combine_level_jit = jax.jit(_combine_level, static_argnames=("cfg", "level"))
+
+
+def _stage_finish(rec0_hit, rad, bg, z, accum, zbuf, first):
+    out = jnp.where(rec0_hit[:, None], rad, bg)
+    z0 = jnp.where(rec0_hit, z, BIG)
+    return accum + out, jnp.where(first, z0, zbuf)
+
+
+_stage_finish_jit = jax.jit(_stage_finish)
+
+
+def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
+                        accum, zbuf, first: bool):
+    """One chunk through per-level jitted stages; accumulates into device
+    buffers (accum, zbuf)."""
+    o, d, bg, dd_x, dd_y = _stage_raygen_jit(pack, cfg, cam, width, height, px, py, key)
+    n = o.shape[0]
+    tasks = Tasks(
+        o=o, d=d,
+        active=jnp.ones((n,), bool),
+        bounce=jnp.full((n,), cfg.tir_bounces, jnp.int32),
+    )
+    key2 = jax.random.fold_in(key, 1)
+    recs = []
+    for level in range(cfg.max_levels):
+        rec, tasks, _ = _shade_level_jit(
+            pack, cfg, tasks, level, jax.random.fold_in(key2, 100 + level),
+            dd_x, dd_y, pmap,
+        )
+        recs.append(rec)
+    m = tasks.o.shape[0]
+    child_rad = jnp.zeros((m, 3))
+    child_z = jnp.full((m,), BIG)
+    child_hit = jnp.zeros((m,), bool)
+    for level in reversed(range(cfg.max_levels)):
+        rad = _combine_level_jit(cfg, level, recs[level], child_rad, child_z, child_hit)
+        child_rad, child_z, child_hit = rad, recs[level].z, recs[level].hit
+    return _stage_finish_jit(recs[0].hit, child_rad, bg, recs[0].z, accum, zbuf, first)
+
+
 def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0,
-                 photon_map=None, denoiser=None):
+                 photon_map=None, denoiser=None, return_aux: bool = False):
     """Render a full image: returns (H, W, 3) float32 in [0,1] after the
     reference's gamma (Main.cpp:216-231). `camera` is a scene-desc Camera.
 
@@ -668,18 +767,25 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
 
     key = jax.random.PRNGKey(seed)
     accum = np.zeros((total, 3), np.float32)
+    zbuffer = np.full((total,), BIG, np.float32)
     # Lanes are (pixel, sample); chunk over pixels, loop samples to bound
-    # memory (the shade tree multiplies live state by ~2^levels).
+    # memory; each chunk runs through the per-level staged driver.
     chunk = max(1, cfg.chunk_rays)
-    for s in range(spp):
-        for start in range(0, total, chunk):
-            stop = min(start + chunk, total)
-            idx = np.arange(start, stop)
-            px = jnp.asarray(idx % width, jnp.int32)
-            py = jnp.asarray(idx // width, jnp.int32)
+    for start in range(0, total, chunk):
+        stop = min(start + chunk, total)
+        idx = np.arange(start, stop)
+        px = jnp.asarray(idx % width, jnp.int32)
+        py = jnp.asarray(idx // width, jnp.int32)
+        acc_d = jnp.zeros((stop - start, 3))
+        z_d = jnp.full((stop - start,), BIG)
+        for s in range(spp):
             ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
-            rad = _render_chunk_jit(pack, cfg, cam, width, height, px, py, ck, photon_map)
-            accum[start:stop] += np.asarray(rad, np.float32)
+            acc_d, z_d = render_chunk_staged(
+                pack, cfg, cam, width, height, px, py, ck, photon_map,
+                acc_d, z_d, s == 0,
+            )
+        accum[start:stop] = np.asarray(acc_d, np.float32)
+        zbuffer[start:stop] = np.asarray(z_d, np.float32)
 
     img = accum / spp
     if cfg.use_gamma:
@@ -692,9 +798,27 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
 
         model, dparams = denoiser
         img = np.asarray(denoise(model, dparams, jnp.asarray(img, jnp.float32)))
+    if return_aux:
+        return img, {"zbuffer": zbuffer.reshape(height, width),
+                     "sample_count": np.full((height, width), spp, np.int32)}
     return img
 
 
 def image_to_u8(img: np.ndarray) -> np.ndarray:
     """Color24 conversion (cyColor.h:231): clamp to [0,1], scale, round."""
     return np.clip(np.asarray(img) * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+
+
+def zbuffer_to_u8(zbuffer: np.ndarray) -> np.ndarray:
+    """ComputeZBufferImage (scene.h:579-601): normalize finite z to [0,255]
+    with near = bright; misses (BIGFLOAT) map to 0."""
+    z = np.asarray(zbuffer)
+    mask = z < BIG
+    if not mask.any():
+        return np.zeros(z.shape, np.uint8)
+    zmin = z[mask].min()
+    zmax = z[mask].max()
+    denom = max(zmax - zmin, 1e-30)
+    img = np.clip((zmax - z) / denom * 255.0, 0, 255).astype(np.uint8)
+    img[~mask] = 0
+    return img
