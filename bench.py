@@ -39,7 +39,7 @@ def main():
         gi_bounces=3,
         extra_refr_levels=2,
         tir_bounces=16,
-        chunk_rays=16384,
+        chunk_rays=65536,
         texture_sample_count=1,
     )
     cam_p = from_scene_camera(cam)

@@ -127,3 +127,50 @@ def train_step_sharded(params, opt_state, pack, cfg, cam, width, height,
     loss, grads = jax.value_and_grad(loss_fn)(params)
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return new_params, opt_state, loss
+
+
+# ---------------------------------------------------------------------------
+# full-image distributed render
+# ---------------------------------------------------------------------------
+
+
+def render_image_distributed(pack, camera, cfg: RenderConfig, mesh: Mesh,
+                             seed: int = 0):
+    """Render a full image with lanes sharded across the mesh.
+
+    The image's (pixel, sample) lanes are chunked and each chunk is sharded
+    on `dp`; finished radiance shards are gathered host-side and assembled —
+    the all-gather-of-tiles step the reference never needed (single box).
+    Under `jax.distributed` the same code spans hosts.
+    """
+    import jax.random as jrandom
+
+    from bhraytracer_tpu.ops.camera import from_scene_camera
+
+    cam_p = from_scene_camera(camera)
+    width, height = camera.width, camera.height
+    total = width * height
+    ndev = mesh.devices.size
+    chunk = max(ndev, (cfg.chunk_rays // ndev) * ndev)
+
+    key = jrandom.PRNGKey(seed)
+    accum = np.zeros((total, 3), np.float32)
+    for s in range(cfg.spp):
+        for start in range(0, total, chunk):
+            stop = min(start + chunk, total)
+            count = stop - start
+            pad = (-count) % ndev
+            idx = np.concatenate([np.arange(start, stop),
+                                  np.full(pad, start, np.int64)])
+            px = jnp.asarray(idx % width, jnp.int32)
+            py = jnp.asarray(idx // width, jnp.int32)
+            ck = jrandom.fold_in(jrandom.fold_in(key, s), start)
+            rad = render_radiance_sharded(
+                pack, cfg, cam_p, width, height, px, py, ck, mesh
+            )
+            accum[start:stop] += np.asarray(rad)[:count]
+
+    img = accum / cfg.spp
+    if cfg.use_gamma:
+        img = np.power(np.maximum(img, 0.0), 1.0 / cfg.gamma)
+    return img.reshape(height, width, 3)
