@@ -770,22 +770,27 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     zbuffer = np.full((total,), BIG, np.float32)
     # Lanes are (pixel, sample); chunk over pixels, loop samples to bound
     # memory; each chunk runs through the per-level staged driver.
-    chunk = max(1, cfg.chunk_rays)
+    chunk = min(max(1, cfg.chunk_rays), total)
     for start in range(0, total, chunk):
         stop = min(start + chunk, total)
-        idx = np.arange(start, stop)
+        count = stop - start
+        # Pad the tail chunk to the full chunk shape: every chunk then shares
+        # one compiled program per stage (a remainder-shaped chunk would
+        # otherwise trigger a second full set of XLA compiles).
+        idx = np.arange(start, start + chunk)
+        idx = np.minimum(idx, total - 1)
         px = jnp.asarray(idx % width, jnp.int32)
         py = jnp.asarray(idx // width, jnp.int32)
-        acc_d = jnp.zeros((stop - start, 3))
-        z_d = jnp.full((stop - start,), BIG)
+        acc_d = jnp.zeros((chunk, 3))
+        z_d = jnp.full((chunk,), BIG)
         for s in range(spp):
             ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
             acc_d, z_d = render_chunk_staged(
                 pack, cfg, cam, width, height, px, py, ck, photon_map,
                 acc_d, z_d, s == 0,
             )
-        accum[start:stop] = np.asarray(acc_d, np.float32)
-        zbuffer[start:stop] = np.asarray(z_d, np.float32)
+        accum[start:stop] = np.asarray(acc_d, np.float32)[:count]
+        zbuffer[start:stop] = np.asarray(z_d, np.float32)[:count]
 
     img = accum / spp
     if cfg.use_gamma:

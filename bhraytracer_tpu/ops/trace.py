@@ -42,6 +42,24 @@ KIND_SPHERE, KIND_PLANE, KIND_MESH = 0, 1, 2
 LEAF_SIZE = 4  # matches bvh.SetMesh(this, 4) (objects.h:59)
 MESH_SHADOW_BIAS = 1e-4  # TriObj.cpp Bias (TriObj.cpp:9)
 
+# Pallas kernel routing: "auto" = fused kernels on TPU, jnp elsewhere;
+# "on" forces them (interpreted off-TPU: tests), "off" disables.
+_PALLAS_MODE = "auto"
+
+
+def set_pallas_mode(mode: str) -> None:
+    global _PALLAS_MODE
+    assert mode in ("auto", "on", "off")
+    _PALLAS_MODE = mode
+
+
+def _pallas_enabled() -> bool:
+    if _PALLAS_MODE == "on":
+        return True
+    if _PALLAS_MODE == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
 
 class Hit(NamedTuple):
     t: jnp.ndarray  # (N,) f32 — BIG on miss
@@ -249,7 +267,21 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
     best_face = jnp.full((n,), -1, jnp.int32)
     best_front = jnp.zeros((n,), bool)
 
-    if pack.n_sph:
+    if _pallas_enabled() and (pack.n_sph or pack.n_pln):
+        from bhraytracer_tpu.ops.pallas_trace import (
+            analytic_closest_pallas,
+            instance_table,
+        )
+
+        sph_tab = instance_table(pack.sph_itm, pack.sph_pos) if pack.n_sph else None
+        pln_tab = instance_table(pack.pln_itm, pack.pln_pos) if pack.n_pln else None
+        t, kind, inst, front = analytic_closest_pallas(sph_tab, pln_tab, o, d, hit_side)
+        upd = t < best_t
+        best_t = jnp.where(upd, t, best_t)
+        best_kind = jnp.where(upd, kind, best_kind)
+        best_inst = jnp.where(upd, inst, best_inst)
+        best_front = jnp.where(upd, front, best_front)
+    elif pack.n_sph:
         ol, dl = _to_local(pack.sph_itm, pack.sph_pos, o, d)
         t, front = sphere_intersect(ol, dl, hit_side)  # (N,K)
         k = jnp.argmin(t, axis=1)
@@ -261,7 +293,7 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
         best_inst = jnp.where(upd, k.astype(jnp.int32), best_inst)
         best_front = jnp.where(upd, fk, best_front)
 
-    if pack.n_pln:
+    if not _pallas_enabled() and pack.n_pln:
         ol, dl = _to_local(pack.pln_itm, pack.pln_pos, o, d)
         t, front = plane_intersect(ol, dl, hit_side)
         k = jnp.argmin(t, axis=1)
@@ -308,7 +340,19 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
     t_max = jnp.broadcast_to(t_max, (n,))
     occ = jnp.zeros((n,), bool)
 
-    if pack.n_sph:
+    if _pallas_enabled() and (pack.n_sph or pack.n_pln):
+        from bhraytracer_tpu.ops.pallas_trace import (
+            analytic_shadow_pallas,
+            instance_table,
+        )
+
+        sph_tab = instance_table(pack.sph_itm, pack.sph_pos) if pack.n_sph else None
+        pln_tab = instance_table(pack.pln_itm, pack.pln_pos) if pack.n_pln else None
+        occ |= analytic_shadow_pallas(
+            sph_tab, pln_tab, o, d, t_max, shadow_bias,
+            plane_world_bug=plane_extent_bug,
+        )
+    elif pack.n_sph:
         ol, dl = _to_local(pack.sph_itm, pack.sph_pos, o, d)
         a = dot(dl, dl)
         b = 2.0 * dot(dl, ol)
@@ -321,7 +365,7 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
         hit = (disc > 0.0) & (tmin > shadow_bias) & (tmin < t_max[:, None])
         occ |= jnp.any(hit, axis=1)
 
-    if pack.n_pln:
+    if not _pallas_enabled() and pack.n_pln:
         ol, dl = _to_local(pack.pln_itm, pack.pln_pos, o, d)
         dz = dl[..., 2]
         t = -ol[..., 2] / jnp.where(dz == 0.0, 1e-30, dz)

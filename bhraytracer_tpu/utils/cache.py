@@ -9,6 +9,11 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    # TPU-only: with the axon plugin present, enabling the persistent cache
+    # on CPU-forced runs deadlocks the compile (futex wait inside the remote
+    # compile path). TPU compiles are the multi-minute ones anyway.
+    if jax.default_backend() != "tpu":
+        return
     path = path or os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".jax_cache")
     os.makedirs(path, exist_ok=True)
