@@ -147,8 +147,9 @@ def _select_light(pack, u):
     return idx
 
 
-def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, key):
-    """GetSampleInLight (MtlBlinn.cpp:637-695): the shading direction vL."""
+def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, u):
+    """GetSampleInLight (MtlBlinn.cpp:637-695): the shading direction vL.
+    u: (N, >=5) uniform columns."""
     n = surf.p.shape[0]
     kind = pack.light_kind[lidx]
     lvec = pack.light_vec[lidx]
@@ -159,13 +160,13 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, key):
 
     vl_c = lvec - surf.p  # hit -> light center
     d_vl, d_theta = sample_along_light_direction(
-        normalize(vl_c), mtl.gloss, _uni(key, 0, (n,)), _uni(key, 1, (n,))
+        normalize(vl_c), mtl.gloss, u[:, 0], u[:, 1]
     )
     p_diffuse = safe_pow(jnp.cos(d_theta), mtl.gloss)
 
-    r = _uni(key, 2, (n,))
+    r = u[:, 2]
     big_r = jnp.sqrt(r) * lsize
-    th = _uni(key, 3, (n,)) * 2.0 * jnp.pi
+    th = u[:, 3] * 2.0 * jnp.pi
     a1 = normalize(cross(crossing_vector(vl_c), vl_c))
     a2 = normalize(cross(a1, vl_c))
     s_vl = vl_c + a1 * (big_r * jnp.cos(th))[:, None] + a2 * (big_r * jnp.sin(th))[:, None]
@@ -174,7 +175,7 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, key):
     pd = kd * p_diffuse
     ps = ks * p_specular
     pd_norm = safe_div(pd, pd + ps)
-    use_spec = _uni(key, 4, (n,)) >= pd_norm
+    use_spec = u[:, 4] >= pd_norm
     use_spec = jnp.where((ks == 0) & (kd != 0), False, use_spec)
     use_spec = jnp.where((ks != 0) & (kd == 0), True, use_spec)
     vl_point = jnp.where(use_spec[:, None], normalize(s_vl), normalize(d_vl))
@@ -186,9 +187,9 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, key):
     return jnp.where((kind == 2)[:, None], vl_point, vl_other)
 
 
-def _illuminate(pack, cfg: RenderConfig, lidx, p, key, mask):
+def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
     """Light::Illuminate with one shadow trace (lights.h:46-64,
-    PointLight.cpp:7-18). Returns irradiance (N,3)."""
+    PointLight.cpp:7-18). u: (N, >=2) uniforms. Returns irradiance (N,3)."""
     n = p.shape[0]
     kind = pack.light_kind[lidx]
     lvec = pack.light_vec[lidx]
@@ -197,9 +198,7 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, key, mask):
 
     center_dir = lvec - p
     rr = dot(center_dir, center_dir)
-    sdir = sample_along_normal(
-        center_dir, lsize, _uni(key, 5, (n,)), _uni(key, 6, (n,))
-    )
+    sdir = sample_along_normal(center_dir, lsize, u[:, 0], u[:, 1])
     sdir = jnp.where((lsize > 0)[:, None], sdir, center_dir)
 
     is_point = kind == 2
@@ -233,13 +232,13 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, key, mask):
     )
 
 
-def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, key, mask,
+def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, u, mask,
                   pmap=None):
     n = surf.p.shape[0]
-    lidx = _select_light(pack, _uni(key, 7, (n,)))
-    vl = _sample_in_light(pack, lidx, surf, mtl, new_spec_color, key)
+    lidx = _select_light(pack, u[:, 7])
+    vl = _sample_in_light(pack, lidx, surf, mtl, new_spec_color, u)
     cos_theta = dot(vl, vn)
-    irrad = _illuminate(pack, cfg, lidx, surf.p, key, mask & (cos_theta > 0))
+    irrad = _illuminate(pack, cfg, lidx, surf.p, u[:, 5:7], mask & (cos_theta > 0))
     vh = normalize(vl + vv)
     diff = textured_color(
         pack, mtl.diffuse, mtl.diffuse_tm, surf.uvw, surf.duvw, taps=cfg.texture_sample_count
@@ -274,23 +273,21 @@ def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, ke
 # ---------------------------------------------------------------------------
 
 
-def _gi_sample(pack, cfg, surf, mtl: Mtl, new_spec_color, vn, vv, key):
+def _gi_sample(pack, cfg, surf, mtl: Mtl, new_spec_color, vn, vv, u):
     n = surf.p.shape[0]
     kd = jnp.max(mtl.diffuse, axis=1)
     ks = jnp.max(new_spec_color, axis=1)
 
-    d_dir, d_theta = sample_in_semisphere(vn, _uni(key, 10, (n,)), _uni(key, 11, (n,)))
+    d_dir, d_theta = sample_in_semisphere(vn, u[:, 0], u[:, 1])
     d_dir = normalize(d_dir)
     p_dt = jnp.sin(2.0 * d_theta)
 
     vr = 2.0 * dot(vn, vv, keepdims=True) * vn - vv
-    s_dir, s_theta = sample_along_light_direction(
-        vr, mtl.gloss, _uni(key, 12, (n,)), _uni(key, 13, (n,))
-    )
+    s_dir, s_theta = sample_along_light_direction(vr, mtl.gloss, u[:, 2], u[:, 3])
     p_st = safe_pow(jnp.cos(s_theta), mtl.gloss)
 
     pd_norm = safe_div(kd * p_dt, kd * p_dt + ks * p_st)
-    use_spec = _uni(key, 14, (n,)) >= pd_norm
+    use_spec = u[:, 4] >= pd_norm
     gi_dir = jnp.where(use_spec[:, None], s_dir, d_dir)  # spec dir unnormalized
     gi_o = surf.p + vn * cfg.bias
 
@@ -476,9 +473,13 @@ def _shade_level(
     new_spec_color = _clamp_white(mtl.specular + fres[:, None] * mtl.refraction)
     refr_eff = (1.0 - fres)[:, None] * mtl.refraction
 
+    # --- per-level uniforms in ONE threefry call (30 scattered
+    # fold_in+uniform calls were a measurable cost) ---
+    u_tab = jax.random.uniform(jax.random.fold_in(key, 1), (n, 13))
+
     # --- direct light ---
     direct = _direct_light(
-        pack, cfg, surf, mtl, new_spec_color, vn, vv, jax.random.fold_in(key, 1), shade,
+        pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8], shade,
         pmap=pmap,
     )
 
@@ -519,7 +520,7 @@ def _shade_level(
     gi_on = cfg.gi_active(level)
     if gi_on:
         gi_o, gi_d, gi_albedo, gi_env = _gi_sample(
-            pack, cfg, surf, mtl, new_spec_color, vn, vv, jax.random.fold_in(key, 3)
+            pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, 8:13]
         )
     else:
         gi_albedo = jnp.zeros((n, 3))

@@ -109,7 +109,12 @@ def texmap_sample(pack, tm_id, uvw, duvw=None, taps: int = 32):
 
 
 def textured_color(pack, color, tm_id, uvw, duvw=None, taps: int = 32):
-    """TexturedColor::Sample (scene.h:410-411): color, or color * texture."""
+    """TexturedColor::Sample (scene.h:410-411): color, or color * texture.
+
+    Statically skips all texture machinery when the scene has no texture
+    maps (pack.n_texmaps == 0) — a large win for untextured scenes."""
+    if getattr(pack, "n_texmaps", 1) == 0:
+        return jnp.broadcast_to(color, tm_id.shape + (3,)) if color.ndim == 1 else color
     tex = texmap_sample(pack, tm_id, uvw, duvw, taps=taps)
     return jnp.where((tm_id >= 0)[..., None], color * tex, color)
 

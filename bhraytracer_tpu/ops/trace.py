@@ -395,110 +395,133 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y) -> Surface:
     dd_x/dd_y are the camera pixel deltas used (reference-faithfully, even
     for secondary rays) by the plane's ray-differential propagation
     (Plane.cpp:51-70, via the dd_x/dd_y globals).
+
+    Branches for geometry categories absent from the scene (static n_* = 0)
+    are skipped entirely, as is the ray-differential math when the scene has
+    no texture maps to filter.
     """
+    from bhraytracer_tpu.ops.linalg import safe_sqrt
+
     n = o.shape[0]
     kind = hit.kind
     z3 = jnp.zeros((n, 3))
+    want_duvw = pack.n_texmaps > 0
+    branches = {}
 
     # --- sphere ---
-    si = jnp.clip(hit.inst, 0, max(pack.sph_itm.shape[0] - 1, 0))
-    s_itm = pack.sph_itm[si]
-    ol = mat_vec(s_itm, o - pack.sph_pos[si])
-    dl = mat_vec(s_itm, d)
-    a = dot(dl, dl)
-    b = 2.0 * dot(dl, ol)
-    c = dot(ol, ol) - 1.0
-    # safe_sqrt: non-sphere lanes run this branch with disc <= 0; a plain
-    # sqrt(0) has an infinite VJP that jnp.where would turn into NaN.
-    from bhraytracer_tpu.ops.linalg import safe_sqrt
-
-    sq = safe_sqrt(b * b - 4.0 * a * c)
-    inv2a = 1.0 / jnp.maximum(2.0 * a, 1e-30)
-    t_s = jnp.where(hit.front, (-b - sq) * inv2a, (-b + sq) * inv2a)
-    p_s = ol + t_s[:, None] * dl
-    n_s = p_s  # N = local hit point (Sphere.cpp:57)
-    dn = normalize(jax.lax.stop_gradient(p_s))
-    uv_s = jnp.stack(
-        [
-            0.5 + jnp.arctan2(dn[:, 1], dn[:, 0]) / (2.0 * jnp.pi),
-            0.5 - jnp.arcsin(jnp.clip(dn[:, 2], -1.0, 1.0)) / jnp.pi,
-            jnp.zeros(n),
-        ],
-        -1,
-    )
-    sph = (t_s, p_s, n_s, uv_s, z3, z3, pack.sph_mtl[si], pack.sph_tm[si], s_itm, pack.sph_pos[si])
+    if pack.n_sph:
+        si = jnp.clip(hit.inst, 0, pack.sph_itm.shape[0] - 1)
+        s_itm = pack.sph_itm[si]
+        ol = mat_vec(s_itm, o - pack.sph_pos[si])
+        dl = mat_vec(s_itm, d)
+        a = dot(dl, dl)
+        b = 2.0 * dot(dl, ol)
+        c = dot(ol, ol) - 1.0
+        # safe_sqrt: non-sphere lanes run this branch with disc <= 0; a plain
+        # sqrt(0) has an infinite VJP that jnp.where would turn into NaN.
+        sq = safe_sqrt(b * b - 4.0 * a * c)
+        inv2a = 1.0 / jnp.maximum(2.0 * a, 1e-30)
+        t_s = jnp.where(hit.front, (-b - sq) * inv2a, (-b + sq) * inv2a)
+        p_s = ol + t_s[:, None] * dl
+        n_s = p_s  # N = local hit point (Sphere.cpp:57)
+        dn = normalize(jax.lax.stop_gradient(p_s))
+        uv_s = jnp.stack(
+            [
+                0.5 + jnp.arctan2(dn[:, 1], dn[:, 0]) / (2.0 * jnp.pi),
+                0.5 - jnp.arcsin(jnp.clip(dn[:, 2], -1.0, 1.0)) / jnp.pi,
+                jnp.zeros(n),
+            ],
+            -1,
+        )
+        branches[KIND_SPHERE] = (t_s, p_s, n_s, uv_s, z3, z3, pack.sph_mtl[si],
+                                 pack.sph_tm[si], s_itm, pack.sph_pos[si])
 
     # --- plane ---
-    pi = jnp.clip(hit.inst, 0, max(pack.pln_itm.shape[0] - 1, 0))
-    p_itm = pack.pln_itm[pi]
-    ol = mat_vec(p_itm, o - pack.pln_pos[pi])
-    dl = mat_vec(p_itm, d)
-    t_p = -ol[:, 2] / jnp.where(dl[:, 2] == 0.0, 1e-30, dl[:, 2])
-    p_p = ol + t_p[:, None] * dl
-    n_p = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
-    uv_p = jnp.stack(
-        [(1.0 + p_p[:, 0]) * 0.5, (1.0 + p_p[:, 1]) * 0.5, jnp.zeros(n)], -1
-    )
-    # Ray differentials (Plane.cpp:51-70): mixes the LOCAL ray direction with
-    # the WORLD-frame camera deltas, reproduced verbatim.
-    nd = normalize(dl)
-    scaled_t = t_p * jnp.sqrt(jnp.maximum(dot(dl, dl), 1e-30))
-    nrm = n_p
+    if pack.n_pln:
+        pi = jnp.clip(hit.inst, 0, pack.pln_itm.shape[0] - 1)
+        p_itm = pack.pln_itm[pi]
+        ol = mat_vec(p_itm, o - pack.pln_pos[pi])
+        dl = mat_vec(p_itm, d)
+        t_p = -ol[:, 2] / jnp.where(dl[:, 2] == 0.0, 1e-30, dl[:, 2])
+        p_p = ol + t_p[:, None] * dl
+        n_p = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
+        uv_p = jnp.stack(
+            [(1.0 + p_p[:, 0]) * 0.5, (1.0 + p_p[:, 1]) * 0.5, jnp.zeros(n)], -1
+        )
+        if want_duvw:
+            # Ray differentials (Plane.cpp:51-70): mixes the LOCAL ray
+            # direction with the WORLD-frame camera deltas, verbatim.
+            nd = normalize(dl)
+            scaled_t = t_p * jnp.sqrt(jnp.maximum(dot(dl, dl), 1e-30))
+            nrm = n_p
 
-    def plane_duvw(dd):
-        dd = jnp.broadcast_to(dd, (n, 3))
-        ddir = dd - dot(nd, dd, keepdims=True) * nd
-        dt = -(scaled_t * dot(ddir, nrm) / jnp.where(dot(nd, nrm) == 0, 1e-30, dot(nd, nrm)))
-        dhit = scaled_t[:, None] * ddir + dt[:, None] * nd
-        return dhit * 0.5
+            def plane_duvw(dd):
+                dd = jnp.broadcast_to(dd, (n, 3))
+                ddir = dd - dot(nd, dd, keepdims=True) * nd
+                dt = -(scaled_t * dot(ddir, nrm)
+                       / jnp.where(dot(nd, nrm) == 0, 1e-30, dot(nd, nrm)))
+                dhit = scaled_t[:, None] * ddir + dt[:, None] * nd
+                return dhit * 0.5
 
-    duvw_p = jnp.stack([plane_duvw(dd_x), plane_duvw(dd_y)], 1)
-    pln = (t_p, p_p, n_p, uv_p, duvw_p[:, 0], duvw_p[:, 1], pack.pln_mtl[pi],
-           pack.pln_tm[pi], p_itm, pack.pln_pos[pi])
+            d0, d1 = plane_duvw(dd_x), plane_duvw(dd_y)
+        else:
+            d0 = d1 = z3
+        branches[KIND_PLANE] = (t_p, p_p, n_p, uv_p, d0, d1, pack.pln_mtl[pi],
+                                pack.pln_tm[pi], p_itm, pack.pln_pos[pi])
 
     # --- mesh ---
-    mi = jnp.clip(hit.inst, 0, max(pack.msh_itm.shape[0] - 1, 0))
-    m_itm = pack.msh_itm[mi]
-    ol = mat_vec(m_itm, o - pack.msh_pos[mi])
-    dl = mat_vec(m_itm, d)
-    fi = jnp.clip(hit.face, 0, pack.face_v.shape[0] - 1)
-    vi = pack.face_v[fi]
-    v0, v1, v2 = pack.verts[vi[:, 0]], pack.verts[vi[:, 1]], pack.verts[vi[:, 2]]
-    vn = cross(v1 - v0, v2 - v0)
-    tdiv = dot(vn, dl)
-    t_m = safe_div(dot(vn, v0) - dot(vn, ol), tdiv)
-    p_m = ol + t_m[:, None] * dl
-    from bhraytracer_tpu.ops.intersect import triangle_areas
+    if pack.n_msh:
+        from bhraytracer_tpu.ops.intersect import triangle_areas
 
-    a0, a1, a2 = triangle_areas(v0, v1, v2, p_m, vn)
-    asum = a0 + a1 + a2
-    bc = jnp.stack([a0, a1, a2], -1) / jnp.where(jnp.abs(asum) < 1e-30, 1e-30, asum)[:, None]
-    ni = pack.face_vn[fi]
-    n_m = (
-        bc[:, 0:1] * pack.normals[ni[:, 0]]
-        + bc[:, 1:2] * pack.normals[ni[:, 1]]
-        + bc[:, 2:3] * pack.normals[ni[:, 2]]
-    )
-    ti = pack.face_vt[fi]
-    uv_m = (
-        bc[:, 0:1] * pack.uvs[ti[:, 0]]
-        + bc[:, 1:2] * pack.uvs[ti[:, 1]]
-        + bc[:, 2:3] * pack.uvs[ti[:, 2]]
-    )
-    mtl_m = jnp.where(pack.msh_mtl[mi] >= 0, pack.msh_mtl[mi], pack.face_mtl[fi])
-    msh = (t_m, p_m, n_m, uv_m, z3, z3, mtl_m, pack.msh_tm[mi], m_itm, pack.msh_pos[mi])
+        mi = jnp.clip(hit.inst, 0, pack.msh_itm.shape[0] - 1)
+        m_itm = pack.msh_itm[mi]
+        ol = mat_vec(m_itm, o - pack.msh_pos[mi])
+        dl = mat_vec(m_itm, d)
+        fi = jnp.clip(hit.face, 0, pack.face_v.shape[0] - 1)
+        vi = pack.face_v[fi]
+        v0, v1, v2 = pack.verts[vi[:, 0]], pack.verts[vi[:, 1]], pack.verts[vi[:, 2]]
+        vn = cross(v1 - v0, v2 - v0)
+        tdiv = dot(vn, dl)
+        t_m = safe_div(dot(vn, v0) - dot(vn, ol), tdiv)
+        p_m = ol + t_m[:, None] * dl
+        a0, a1, a2 = triangle_areas(v0, v1, v2, p_m, vn)
+        asum = a0 + a1 + a2
+        bc = jnp.stack([a0, a1, a2], -1) / jnp.where(
+            jnp.abs(asum) < 1e-30, 1e-30, asum
+        )[:, None]
+        ni = pack.face_vn[fi]
+        n_m = (
+            bc[:, 0:1] * pack.normals[ni[:, 0]]
+            + bc[:, 1:2] * pack.normals[ni[:, 1]]
+            + bc[:, 2:3] * pack.normals[ni[:, 2]]
+        )
+        ti = pack.face_vt[fi]
+        uv_m = (
+            bc[:, 0:1] * pack.uvs[ti[:, 0]]
+            + bc[:, 1:2] * pack.uvs[ti[:, 1]]
+            + bc[:, 2:3] * pack.uvs[ti[:, 2]]
+        )
+        mtl_m = jnp.where(pack.msh_mtl[mi] >= 0, pack.msh_mtl[mi], pack.face_mtl[fi])
+        branches[KIND_MESH] = (t_m, p_m, n_m, uv_m, z3, z3, mtl_m,
+                               pack.msh_tm[mi], m_itm, pack.msh_pos[mi])
+
+    if not branches:
+        zero = jnp.zeros((n,))
+        return Surface(p=z3, n=z3, uvw=z3, duvw=jnp.zeros((n, 2, 3)),
+                       mtl=jnp.zeros((n,), jnp.int32), z=zero, front=hit.front)
 
     # --- select by kind and transform to world (FromNodeCoords,
     # scene.h:497-501: p -> tm p + pos, N -> normalize(itm^T N)) ---
-    def sel(idx):
-        is_p = (kind == KIND_PLANE)
-        is_m = (kind == KIND_MESH)
-        a, b_, c_ = sph[idx], pln[idx], msh[idx]
-        out = jnp.where(_bx(is_m, a), c_, jnp.where(_bx(is_p, a), b_, a))
-        return out
+    kinds = sorted(branches.keys())
 
     def _bx(mask, like):
         return mask.reshape(mask.shape + (1,) * (like.ndim - 1))
+
+    def sel(idx):
+        out = branches[kinds[0]][idx]
+        for kd in kinds[1:]:
+            out = jnp.where(_bx(kind == kd, out), branches[kd][idx], out)
+        return out
 
     t = sel(0)
     p_l = sel(1)

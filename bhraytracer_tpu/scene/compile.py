@@ -244,6 +244,7 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
         bvh_depth=bvh_depth,
         n_sph=len(sph), n_pln=len(pln), n_msh=len(msh),
         n_lights=len(lights), has_file_tex=has_file_tex,
+        n_texmaps=len(texmaps),
     )
     # Host numpy -> device jnp.
     import jax

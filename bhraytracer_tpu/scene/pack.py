@@ -105,10 +105,11 @@ class ScenePack:
     n_msh: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_lights: int = dataclasses.field(default=0, metadata=dict(static=True))
     has_file_tex: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    n_texmaps: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 _FIELDS = [f.name for f in dataclasses.fields(ScenePack)]
-_META = ["bvh_depth", "n_sph", "n_pln", "n_msh", "n_lights", "has_file_tex"]
+_META = ["bvh_depth", "n_sph", "n_pln", "n_msh", "n_lights", "has_file_tex", "n_texmaps"]
 _DATA = [n for n in _FIELDS if n not in _META]
 
 jax.tree_util.register_dataclass(ScenePack, data_fields=_DATA, meta_fields=_META)
