@@ -48,6 +48,13 @@ def _add_render_args(p):
     p.add_argument("--probe", type=int, nargs=2, metavar=("X", "Y"), default=None,
                    help="print color + z at a pixel (viewport click inspector)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--checkpoint", default=None, metavar="DIR",
+                   help="checkpoint render state per chunk; re-running with "
+                        "the same args resumes (killed renders lose nothing)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render "
+                        "(experimental: hangs under tunneled-TPU "
+                        "environments; use on standard JAX installs)")
 
 
 def cmd_render(args) -> int:
@@ -99,13 +106,25 @@ def cmd_render(args) -> int:
             print(f"wrote {args.save_photons}")
 
     t0 = time.time()
-    img, aux = render_image(pack, cam, cfg, seed=args.seed,
-                            photon_map=photon_map, return_aux=True)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            img, aux = render_image(pack, cam, cfg, seed=args.seed,
+                                    photon_map=photon_map, return_aux=True,
+                                    checkpoint_dir=args.checkpoint)
+    else:
+        img, aux = render_image(pack, cam, cfg, seed=args.seed,
+                                photon_map=photon_map, return_aux=True,
+                                checkpoint_dir=args.checkpoint)
     dt = time.time() - t0
     # Render-time report, like the viewport's completion timer
     # (viewport.cpp:399-410).
     print(f"rendered {cam.width}x{cam.height} @ {cfg.spp}spp in "
           f"{int(dt // 3600)}:{int(dt % 3600 // 60):02d}:{dt % 60:05.2f}")
+    segments = sum(cfg.level_sizes(min(cfg.chunk_rays, cam.width * cam.height))) * 2
+    segments *= cfg.spp * max(1, (cam.width * cam.height) // min(cfg.chunk_rays, cam.width * cam.height))
+    print(f"~{segments / max(dt, 1e-9) / 1e6:.2f}M ray segments/s")
     write_png(args.output, image_to_u8(img))
     print(f"wrote {args.output}")
     if args.zbuffer:

@@ -748,7 +748,8 @@ def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
 
 
 def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0,
-                 photon_map=None, denoiser=None, return_aux: bool = False):
+                 photon_map=None, denoiser=None, return_aux: bool = False,
+                 checkpoint_dir=None):
     """Render a full image: returns (H, W, 3) float32 in [0,1] after the
     reference's gamma (Main.cpp:216-231). `camera` is a scene-desc Camera.
 
@@ -769,10 +770,21 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     key = jax.random.PRNGKey(seed)
     accum = np.zeros((total, 3), np.float32)
     zbuffer = np.full((total,), BIG, np.float32)
+    chunk = min(max(1, cfg.chunk_rays), total)
+    n_chunks = -(-total // chunk)
+    done = np.zeros((n_chunks,), bool)
+    if checkpoint_dir:
+        from bhraytracer_tpu.utils.checkpoint import load_render_state, save_render_state
+
+        state = load_render_state(checkpoint_dir, cfg, width, height, seed)
+        if state is not None:
+            accum, zbuffer, done = state
+            accum = accum.copy(); zbuffer = zbuffer.copy(); done = done.copy()
     # Lanes are (pixel, sample); chunk over pixels, loop samples to bound
     # memory; each chunk runs through the per-level staged driver.
-    chunk = min(max(1, cfg.chunk_rays), total)
     for start in range(0, total, chunk):
+        if done[start // chunk]:
+            continue
         stop = min(start + chunk, total)
         count = stop - start
         # Pad the tail chunk to the full chunk shape: every chunk then shares
@@ -792,6 +804,10 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
             )
         accum[start:stop] = np.asarray(acc_d, np.float32)[:count]
         zbuffer[start:stop] = np.asarray(z_d, np.float32)[:count]
+        done[start // chunk] = True
+        if checkpoint_dir:
+            save_render_state(checkpoint_dir, accum, zbuffer, done,
+                              cfg, width, height, seed)
 
     img = accum / spp
     if cfg.use_gamma:

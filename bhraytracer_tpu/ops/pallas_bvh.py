@@ -1,0 +1,347 @@
+"""Pallas TPU packet BVH traversal.
+
+The XLA traversal (ops/trace.py bvh_closest) is a lax.while_loop whose every
+iteration round-trips per-ray node gathers through HBM. This kernel keeps an
+entire 8x128 ray tile resident and traverses with a SHARED scalar stack in
+SMEM (classic packet traversal): a node is visited if ANY ray in the tile
+wants it; node/vertex fetches are scalar reads from VMEM-resident mesh
+arrays; triangle and slab tests are vector ops over the tile.
+
+Trade-offs (documented):
+  - coherent tiles (camera rays) traverse near-optimally; incoherent tiles
+    visit the union of their rays' paths — still correct, just less pruning;
+  - mesh arrays must fit in VMEM (teapot-class is ~50KB; the XLA path
+    remains the fallback for big meshes via `fits_vmem`).
+
+Replaces (same results): TraceBVHNode / TraceBVHShadow (TriObj.cpp:192-307)
+with the reference's ordered-descent pruning expressed per tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bhraytracer_tpu.ops.intersect import PERP_EPS
+from bhraytracer_tpu.ops.linalg import BIG
+
+LANES = 128
+SUBL = 8
+BLOCK = SUBL * LANES
+LEAF_SIZE = 4
+STACK_DEPTH = 64
+VMEM_BUDGET = 6 << 20  # mesh bytes allowed in VMEM
+
+
+def fits_vmem(pack) -> bool:
+    total = (
+        pack.bvh_bmin.size + pack.bvh_bmax.size + pack.verts.size
+    ) * 4 + (pack.bvh_left.size + pack.bvh_count.size + pack.face_v.size) * 4
+    return total <= VMEM_BUDGET
+
+
+def _pad_rays(o, d):
+    n = o.shape[0]
+    g = -(-n // BLOCK) * SUBL
+    pad = g * LANES - n
+
+    def prep(x):
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+        return x.reshape(g, LANES)
+
+    return [prep(o[:, k]) for k in range(3)] + [prep(d[:, k]) for k in range(3)], n
+
+
+def _tri_test(vert, fv, fidx, pox, poy, poz, pdx, pdy, pdz, side: int):
+    """Vector triangle test of scalar-indexed face `fidx` against the tile.
+
+    Mirrors IntersectTriangle (TriObj.cpp:68-189) incl. the grazing cull and
+    dominant-axis projected signed areas. Returns (t, front, ok)."""
+    i0 = fv[fidx, 0]
+    i1 = fv[fidx, 1]
+    i2 = fv[fidx, 2]
+    v0x, v0y, v0z = vert[i0, 0], vert[i0, 1], vert[i0, 2]
+    v1x, v1y, v1z = vert[i1, 0], vert[i1, 1], vert[i1, 2]
+    v2x, v2y, v2z = vert[i2, 0], vert[i2, 1], vert[i2, 2]
+
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+
+    tdiv = nx * pdx + ny * pdy + nz * pdz
+    nlen = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+    dlen = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
+    pd = tdiv / jnp.maximum(nlen * dlen, 1e-30)
+    ok = jnp.abs(pd) >= PERP_EPS
+    ndot0 = nx * v0x + ny * v0y + nz * v0z
+    ndoto = nx * pox + ny * poy + nz * poz
+    t = (ndot0 - ndoto) / jnp.where(tdiv == 0.0, 1e-30, tdiv)
+    ok &= t > 0.0
+    front = tdiv < 0.0
+    if side == 0:
+        ok &= front
+    elif side == 1:
+        ok &= ~front
+
+    hx = pox + t * pdx
+    hy = poy + t * pdy
+    hz = poz + t * pdz
+
+    # Dominant-axis projection by |n| (scalar choice per face).
+    anx, any_, anz = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+    use_x = (anx >= any_) & (anx >= anz)
+    use_y = (~use_x) & (any_ >= anx) & (any_ >= anz)
+
+    def pick(ax, ay, az):
+        return jnp.where(use_x, ax, jnp.where(use_y, ay, az))
+
+    # projected 2D coords: x-plane -> (y,z); y-plane -> (x,z); z-plane -> (x,y)
+    p0u = pick(v0y, v0x, v0x)
+    p0v = pick(v0z, v0z, v0y)
+    p1u = pick(v1y, v1x, v1x)
+    p1v = pick(v1z, v1z, v1y)
+    p2u = pick(v2y, v2x, v2x)
+    p2v = pick(v2z, v2z, v2y)
+    pxu = pick(hy, hx, hx)
+    pxv = pick(hz, hz, hy)
+
+    a0 = (p1u - pxu) * (p2v - pxv) - (p1v - pxv) * (p2u - pxu)
+    a1 = (p2u - pxu) * (p0v - pxv) - (p2v - pxv) * (p0u - pxu)
+    a2 = (p0u - pxu) * (p1v - pxv) - (p0v - pxv) * (p1u - pxu)
+    all_nonneg = (a0 >= 0.0) & (a1 >= 0.0) & (a2 >= 0.0)
+    all_neg = (a0 < 0.0) & (a1 < 0.0) & (a2 < 0.0)
+    ok &= all_nonneg | all_neg
+    return t, front, ok
+
+
+def _box_test(bmin, bmax, node, pox, poy, poz, idx, idy, idz, t_best):
+    """Vector slab test of scalar node bounds against the tile."""
+    t_lo = jnp.full(pox.shape, -BIG)
+    t_hi = jnp.full(pox.shape, BIG)
+    for ax, (po, inv) in enumerate(((pox, idx), (poy, idy), (poz, idz))):
+        ta = (bmin[node, ax] - po) * inv
+        tb = (bmax[node, ax] - po) * inv
+        t_lo = jnp.maximum(t_lo, jnp.minimum(ta, tb))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(ta, tb))
+    hit = (t_lo <= t_hi) & (t_lo < t_best) & (t_hi >= 0.0)
+    return t_lo, hit
+
+
+def _closest_kernel(side: int, n_faces: int,
+                    root_ref, bmin, bmax, left, count, vert, fv,
+                    ox, oy, oz, dx, dy, dz,
+                    t_out, face_out, front_out,
+                    stack):
+    pox, poy, poz = ox[...], oy[...], oz[...]
+    pdx, pdy, pdz = dx[...], dy[...], dz[...]
+    idx = 1.0 / jnp.where(pdx == 0.0, 1e-30, pdx)
+    idy = 1.0 / jnp.where(pdy == 0.0, 1e-30, pdy)
+    idz = 1.0 / jnp.where(pdz == 0.0, 1e-30, pdz)
+    root = root_ref[0]
+
+    t0 = jnp.full(pox.shape, BIG)
+    _, root_hit = _box_test(bmin, bmax, root, pox, poy, poz, idx, idy, idz, t0)
+    stack[0] = root
+    sp0 = jnp.where(jnp.any(root_hit), 1, 0)
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, t_best, bface, bfront = c
+        node = stack[sp - 1]
+        sp = sp - 1
+        cnt = count[node]
+        lft = left[node]
+
+        def leaf_fn(args):
+            tb, bf, bfr, s = args
+            for k in range(LEAF_SIZE):
+                fidx = jnp.minimum(lft + k, n_faces - 1)
+                t, fr, ok = _tri_test(vert, fv, fidx, pox, poy, poz,
+                                      pdx, pdy, pdz, side)
+                upd = ok & (t < tb) & (k < cnt)
+                tb = jnp.where(upd, t, tb)
+                bf = jnp.where(upd, fidx, bf)
+                bfr = jnp.where(upd, fr.astype(jnp.int32), bfr)
+            return tb, bf, bfr, s
+
+        def internal_fn(args):
+            tb, bf, bfr, s = args
+            c1 = lft
+            c2 = lft + 1
+            t1, h1 = _box_test(bmin, bmax, c1, pox, poy, poz, idx, idy, idz, tb)
+            t2, h2 = _box_test(bmin, bmax, c2, pox, poy, poz, idx, idy, idz, tb)
+            h1a = jnp.any(h1)
+            h2a = jnp.any(h2)
+            # Ordered descent by tile vote: nearer mean entry goes on top.
+            m1 = jnp.min(jnp.where(h1, t1, BIG))
+            m2 = jnp.min(jnp.where(h2, t2, BIG))
+            near = jnp.where(m1 <= m2, c1, c2)
+            far = jnp.where(m1 <= m2, c2, c1)
+            near_hit = jnp.where(m1 <= m2, h1a, h2a)
+            far_hit = jnp.where(m1 <= m2, h2a, h1a)
+            # push far first, then near (near popped first)
+            s1 = s + far_hit.astype(jnp.int32)
+
+            @pl.when(far_hit)
+            def _():
+                stack[s] = far
+
+            @pl.when(near_hit)
+            def _():
+                stack[s1] = near
+
+            s2 = s1 + near_hit.astype(jnp.int32)
+            return tb, bf, bfr, s2
+
+        tb, bf, bfr, sp = jax.lax.cond(
+            cnt > 0, leaf_fn, internal_fn, (t_best, bface, bfront, sp)
+        )
+        return sp, tb, bf, bfr
+
+    init = (
+        sp0,
+        t0,
+        jnp.full(pox.shape, -1, jnp.int32),
+        jnp.zeros(pox.shape, jnp.int32),
+    )
+    sp, t_best, bface, bfront = jax.lax.while_loop(cond, body, init)
+    t_out[...] = t_best
+    face_out[...] = bface
+    front_out[...] = bfront
+
+
+def bvh_closest_pallas(pack, root, o, d, hit_side: str):
+    """Packet-traversal closest hit. o, d: (N,3) LOCAL rays; returns
+    (t, face, front) with t = BIG on miss."""
+    comps, n = _pad_rays(o, d)
+    g = comps[0].shape[0]
+    side = {"front": 0, "back": 1, "both": 2}[hit_side]
+    kernel = functools.partial(_closest_kernel, side, int(pack.face_v.shape[0]))
+    ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    arr = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    t, face, front = pl.pallas_call(
+        kernel,
+        grid=(g // SUBL,),
+        in_specs=[smem1, arr, arr, arr, arr, arr, arr] + [ray_spec] * 6,
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((g, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((g, LANES), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=jax.default_backend() != "tpu",
+    )(
+        jnp.asarray([root], jnp.int32),
+        pack.bvh_bmin, pack.bvh_bmax, pack.bvh_left, pack.bvh_count,
+        pack.verts, pack.face_v,
+        *comps,
+    )
+    return (
+        t.reshape(-1)[:n],
+        face.reshape(-1)[:n],
+        front.reshape(-1)[:n].astype(bool),
+    )
+
+
+def _anyhit_kernel(n_faces: int, bias: float,
+                   root_ref, bmin, bmax, left, count, vert, fv,
+                   ox, oy, oz, dx, dy, dz, tmax,
+                   occ_out, stack):
+    pox, poy, poz = ox[...], oy[...], oz[...]
+    pdx, pdy, pdz = dx[...], dy[...], dz[...]
+    tm = tmax[...]
+    idx = 1.0 / jnp.where(pdx == 0.0, 1e-30, pdx)
+    idy = 1.0 / jnp.where(pdy == 0.0, 1e-30, pdy)
+    idz = 1.0 / jnp.where(pdz == 0.0, 1e-30, pdz)
+    root = root_ref[0]
+
+    big = jnp.full(pox.shape, BIG)
+    _, root_hit = _box_test(bmin, bmax, root, pox, poy, poz, idx, idy, idz, big)
+    stack[0] = root
+    sp0 = jnp.where(jnp.any(root_hit), 1, 0)
+
+    def cond(c):
+        sp, occ = c
+        return (sp > 0) & jnp.logical_not(jnp.all(occ))
+
+    def body(c):
+        sp, occ = c
+        node = stack[sp - 1]
+        sp = sp - 1
+        cnt = count[node]
+        lft = left[node]
+
+        def leaf_fn(args):
+            o_, s = args
+            for k in range(LEAF_SIZE):
+                fidx = jnp.minimum(lft + k, n_faces - 1)
+                t, fr, ok = _tri_test(vert, fv, fidx, pox, poy, poz,
+                                      pdx, pdy, pdz, 0)  # front-only
+                o_ = o_ | (ok & (t > bias) & (t < tm) & (k < cnt))
+            return o_, s
+
+        def internal_fn(args):
+            o_, s = args
+            c1 = lft
+            c2 = lft + 1
+            _, h1 = _box_test(bmin, bmax, c1, pox, poy, poz, idx, idy, idz, big)
+            _, h2 = _box_test(bmin, bmax, c2, pox, poy, poz, idx, idy, idz, big)
+            h1a = jnp.any(h1 & ~o_)
+            h2a = jnp.any(h2 & ~o_)
+            s1 = s + h1a.astype(jnp.int32)
+
+            @pl.when(h1a)
+            def _():
+                stack[s] = c1
+
+            @pl.when(h2a)
+            def _():
+                stack[s1] = c2
+
+            return o_, s1 + h2a.astype(jnp.int32)
+
+        occ, sp = jax.lax.cond(cnt > 0, leaf_fn, internal_fn, (occ, sp))
+        return sp, occ
+
+    _, occ = jax.lax.while_loop(cond, body, (sp0, jnp.zeros(pox.shape, bool)))
+    occ_out[...] = occ.astype(jnp.int32)
+
+
+def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max):
+    comps, n = _pad_rays(o, d)
+    g = comps[0].shape[0]
+    tmax_full = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+    pad = g * LANES - n
+    tmax_p = (
+        jnp.concatenate([tmax_full, jnp.zeros((pad,), jnp.float32)])
+        if pad else tmax_full
+    ).reshape(g, LANES)
+    kernel = functools.partial(_anyhit_kernel, int(pack.face_v.shape[0]), t_min)
+    ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    arr = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(g // SUBL,),
+        in_specs=[smem1, arr, arr, arr, arr, arr, arr] + [ray_spec] * 7,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((g, LANES), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=jax.default_backend() != "tpu",
+    )(
+        jnp.asarray([root], jnp.int32),
+        pack.bvh_bmin, pack.bvh_bmax, pack.bvh_left, pack.bvh_count,
+        pack.verts, pack.face_v,
+        *comps, tmax_p,
+    )
+    return occ.reshape(-1)[:n].astype(bool)

@@ -305,9 +305,17 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
         best_inst = jnp.where(upd, k.astype(jnp.int32), best_inst)
         best_front = jnp.where(upd, fk, best_front)
 
+    use_pallas_bvh = False
+    if pack.n_msh and _pallas_enabled():
+        from bhraytracer_tpu.ops.pallas_bvh import bvh_closest_pallas, fits_vmem
+
+        use_pallas_bvh = fits_vmem(pack)
     for i in range(pack.n_msh):
         ol, dl = _one_local(pack.msh_itm[i], pack.msh_pos[i], o, d)
-        t, face, front = bvh_closest(pack, pack.msh_root[i], ol, dl, hit_side, best_t)
+        if use_pallas_bvh:
+            t, face, front = bvh_closest_pallas(pack, pack.msh_root[i], ol, dl, hit_side)
+        else:
+            t, face, front = bvh_closest(pack, pack.msh_root[i], ol, dl, hit_side, best_t)
         upd = t < best_t
         best_t = jnp.where(upd, t, best_t)
         best_kind = jnp.where(upd, KIND_MESH, best_kind)
@@ -377,9 +385,18 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
         hit = (dz != 0.0) & (t >= 0.0) & in_ext & (t > shadow_bias) & (t < t_max[:, None])
         occ |= jnp.any(hit, axis=1)
 
+    use_pallas_bvh = False
+    if pack.n_msh and _pallas_enabled():
+        from bhraytracer_tpu.ops.pallas_bvh import bvh_anyhit_pallas, fits_vmem
+
+        use_pallas_bvh = fits_vmem(pack)
     for i in range(pack.n_msh):
         ol, dl = _one_local(pack.msh_itm[i], pack.msh_pos[i], o, d)
-        occ |= bvh_anyhit(pack, pack.msh_root[i], ol, dl, MESH_SHADOW_BIAS, t_max)
+        if use_pallas_bvh:
+            occ |= bvh_anyhit_pallas(pack, pack.msh_root[i], ol, dl,
+                                     MESH_SHADOW_BIAS, t_max)
+        else:
+            occ |= bvh_anyhit(pack, pack.msh_root[i], ol, dl, MESH_SHADOW_BIAS, t_max)
 
     return occ
 

@@ -53,3 +53,65 @@ def test_shadow_matches_jnp(scene, rays, bug):
     finally:
         T.set_pallas_mode("auto")
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.fixture(scope="module")
+def mesh_scene(tmp_path_factory):
+    import os
+    import subprocess
+    import sys
+
+    from bhraytracer_tpu.scene.xml_loader import load_scene
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tmp_path_factory.mktemp("pallas_assets")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "gen_assets.py"), str(root)],
+        check=True, capture_output=True,
+    )
+    scene = root / "s.xml"
+    scene.write_text("""
+<xml>
+  <scene>
+    <object type="obj" name="Resource/Data/teapot.obj" material="m">
+      <scale value="0.3"/>
+    </object>
+    <material type="blinn" name="m"><diffuse value="0.8"/></material>
+    <light type="point" name="l"><intensity value="10"/><position z="8"/></light>
+  </scene>
+  <camera><position y="-10" z="4"/><target z="1"/><up z="1"/>
+    <width value="32"/><height value="24"/></camera>
+</xml>""")
+    pack, _ = load_scene(str(scene), resource_root=str(root))
+    return pack
+
+
+@pytest.mark.parametrize("side", ["front", "both"])
+def test_bvh_packet_matches_jnp(mesh_scene, rng, side):
+    o = jnp.asarray(rng.normal(size=(600, 3)) * 4 + [0, -6, 2], jnp.float32)
+    d = jnp.asarray(rng.normal(size=(600, 3)), jnp.float32)
+    T.set_pallas_mode("off")
+    ref = T.trace_closest(mesh_scene, o, d, side)
+    T.set_pallas_mode("on")
+    try:
+        out = T.trace_closest(mesh_scene, o, d, side)
+    finally:
+        T.set_pallas_mode("auto")
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), rtol=1e-4, atol=1e-5)
+    hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(out.face)[hit], np.asarray(ref.face)[hit])
+    np.testing.assert_array_equal(np.asarray(out.front)[hit], np.asarray(ref.front)[hit])
+
+
+def test_bvh_packet_shadow_matches_jnp(mesh_scene, rng):
+    o = jnp.asarray(rng.normal(size=(600, 3)) * 3 + [0, -4, 1], jnp.float32)
+    d = jnp.asarray(rng.normal(size=(600, 3)), jnp.float32)
+    tm = jnp.asarray(np.random.default_rng(1).uniform(0.5, 20.0, 600), jnp.float32)
+    T.set_pallas_mode("off")
+    ref = T.trace_shadow(mesh_scene, o, d, tm, 1e-5)
+    T.set_pallas_mode("on")
+    try:
+        out = T.trace_shadow(mesh_scene, o, d, tm, 1e-5)
+    finally:
+        T.set_pallas_mode("auto")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
