@@ -4,14 +4,15 @@ The XLA traversal (ops/trace.py bvh_closest) is a lax.while_loop whose every
 iteration round-trips per-ray node gathers through HBM. This kernel keeps an
 entire 8x128 ray tile resident and traverses with a SHARED scalar stack in
 SMEM (classic packet traversal): a node is visited if ANY ray in the tile
-wants it; node/vertex fetches are scalar reads from VMEM-resident mesh
-arrays; triangle and slab tests are vector ops over the tile.
+wants it; node and face data live in (rows, 16) f32 VMEM tables fetched with
+dynamic `pl.ds` row slices (Mosaic cannot scalar-gather 1-D VMEM arrays);
+triangle and slab tests are vector ops over the tile.
 
 Trade-offs (documented):
   - coherent tiles (camera rays) traverse near-optimally; incoherent tiles
     visit the union of their rays' paths — still correct, just less pruning;
-  - mesh arrays must fit in VMEM (teapot-class is ~50KB; the XLA path
-    remains the fallback for big meshes via `fits_vmem`).
+  - node/face tables must fit in VMEM (the 16-wide rows pad to 128 lanes
+    physically); `fits_vmem` gates the kernel with the XLA path as fallback.
 
 Replaces (same results): TraceBVHNode / TraceBVHShadow (TriObj.cpp:192-307)
 with the reference's ordered-descent pruning expressed per tile.
@@ -34,14 +35,12 @@ SUBL = 8
 BLOCK = SUBL * LANES
 LEAF_SIZE = 4
 STACK_DEPTH = 64
-VMEM_BUDGET = 6 << 20  # mesh bytes allowed in VMEM
+VMEM_BUDGET = 8 << 20  # physical bytes for node+face tables
 
 
 def fits_vmem(pack) -> bool:
-    total = (
-        pack.bvh_bmin.size + pack.bvh_bmax.size + pack.verts.size
-    ) * 4 + (pack.bvh_left.size + pack.bvh_count.size + pack.face_v.size) * 4
-    return total <= VMEM_BUDGET
+    rows = pack.pallas_nodes.shape[0] + pack.pallas_faces.shape[0]
+    return rows * LANES * 4 <= VMEM_BUDGET  # 16-wide rows pad to 128 lanes
 
 
 def _pad_rays(o, d):
@@ -56,17 +55,19 @@ def _pad_rays(o, d):
     return [prep(o[:, k]) for k in range(3)] + [prep(d[:, k]) for k in range(3)], n
 
 
-def _tri_test(vert, fv, fidx, pox, poy, poz, pdx, pdy, pdz, side: int):
-    """Vector triangle test of scalar-indexed face `fidx` against the tile.
+def _row(ref, idx):
+    """Dynamic row fetch -> tuple of 16 scalars."""
+    r = ref[pl.ds(idx, 1), :]
+    return [r[0, j] for j in range(16)]
+
+
+def _tri_test(faces_ref, fidx, pox, poy, poz, pdx, pdy, pdz, side: int):
+    """Vector triangle test of face row `fidx` against the tile.
 
     Mirrors IntersectTriangle (TriObj.cpp:68-189) incl. the grazing cull and
     dominant-axis projected signed areas. Returns (t, front, ok)."""
-    i0 = fv[fidx, 0]
-    i1 = fv[fidx, 1]
-    i2 = fv[fidx, 2]
-    v0x, v0y, v0z = vert[i0, 0], vert[i0, 1], vert[i0, 2]
-    v1x, v1y, v1z = vert[i1, 0], vert[i1, 1], vert[i1, 2]
-    v2x, v2y, v2z = vert[i2, 0], vert[i2, 1], vert[i2, 2]
+    f = _row(faces_ref, fidx)
+    v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = f[:9]
 
     e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
     e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
@@ -96,12 +97,11 @@ def _tri_test(vert, fv, fidx, pox, poy, poz, pdx, pdy, pdz, side: int):
     # Dominant-axis projection by |n| (scalar choice per face).
     anx, any_, anz = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
     use_x = (anx >= any_) & (anx >= anz)
-    use_y = (~use_x) & (any_ >= anx) & (any_ >= anz)
+    use_y = jnp.logical_and(jnp.logical_not(use_x), (any_ >= anx) & (any_ >= anz))
 
     def pick(ax, ay, az):
         return jnp.where(use_x, ax, jnp.where(use_y, ay, az))
 
-    # projected 2D coords: x-plane -> (y,z); y-plane -> (x,z); z-plane -> (x,y)
     p0u = pick(v0y, v0x, v0x)
     p0v = pick(v0z, v0z, v0y)
     p1u = pick(v1y, v1x, v1x)
@@ -120,13 +120,13 @@ def _tri_test(vert, fv, fidx, pox, poy, poz, pdx, pdy, pdz, side: int):
     return t, front, ok
 
 
-def _box_test(bmin, bmax, node, pox, poy, poz, idx, idy, idz, t_best):
-    """Vector slab test of scalar node bounds against the tile."""
+def _box_test(row, lo, pox, poy, poz, idx, idy, idz, t_best):
+    """Vector slab test against node bounds scalars row[lo:lo+6]."""
     t_lo = jnp.full(pox.shape, -BIG)
     t_hi = jnp.full(pox.shape, BIG)
     for ax, (po, inv) in enumerate(((pox, idx), (poy, idy), (poz, idz))):
-        ta = (bmin[node, ax] - po) * inv
-        tb = (bmax[node, ax] - po) * inv
+        ta = (row[lo + ax] - po) * inv
+        tb = (row[lo + 3 + ax] - po) * inv
         t_lo = jnp.maximum(t_lo, jnp.minimum(ta, tb))
         t_hi = jnp.minimum(t_hi, jnp.maximum(ta, tb))
     hit = (t_lo <= t_hi) & (t_lo < t_best) & (t_hi >= 0.0)
@@ -134,7 +134,7 @@ def _box_test(bmin, bmax, node, pox, poy, poz, idx, idy, idz, t_best):
 
 
 def _closest_kernel(side: int, n_faces: int,
-                    root_ref, bmin, bmax, left, count, vert, fv,
+                    root_ref, nodes, faces,
                     ox, oy, oz, dx, dy, dz,
                     t_out, face_out, front_out,
                     stack):
@@ -146,7 +146,8 @@ def _closest_kernel(side: int, n_faces: int,
     root = root_ref[0]
 
     t0 = jnp.full(pox.shape, BIG)
-    _, root_hit = _box_test(bmin, bmax, root, pox, poy, poz, idx, idy, idz, t0)
+    root_row = _row(nodes, root)
+    _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, t0)
     stack[0] = root
     sp0 = jnp.where(jnp.any(root_hit), 1, 0)
 
@@ -157,14 +158,15 @@ def _closest_kernel(side: int, n_faces: int,
         sp, t_best, bface, bfront = c
         node = stack[sp - 1]
         sp = sp - 1
-        cnt = count[node]
-        lft = left[node]
+        row = _row(nodes, node)
+        lft = row[6].astype(jnp.int32)
+        cnt = row[7].astype(jnp.int32)
 
         def leaf_fn(args):
             tb, bf, bfr, s = args
             for k in range(LEAF_SIZE):
                 fidx = jnp.minimum(lft + k, n_faces - 1)
-                t, fr, ok = _tri_test(vert, fv, fidx, pox, poy, poz,
+                t, fr, ok = _tri_test(faces, fidx, pox, poy, poz,
                                       pdx, pdy, pdz, side)
                 upd = ok & (t < tb) & (k < cnt)
                 tb = jnp.where(upd, t, tb)
@@ -174,20 +176,19 @@ def _closest_kernel(side: int, n_faces: int,
 
         def internal_fn(args):
             tb, bf, bfr, s = args
-            c1 = lft
-            c2 = lft + 1
-            t1, h1 = _box_test(bmin, bmax, c1, pox, poy, poz, idx, idy, idz, tb)
-            t2, h2 = _box_test(bmin, bmax, c2, pox, poy, poz, idx, idy, idz, tb)
+            row1 = _row(nodes, lft)
+            row2 = _row(nodes, lft + 1)
+            t1, h1 = _box_test(row1, 0, pox, poy, poz, idx, idy, idz, tb)
+            t2, h2 = _box_test(row2, 0, pox, poy, poz, idx, idy, idz, tb)
             h1a = jnp.any(h1)
             h2a = jnp.any(h2)
-            # Ordered descent by tile vote: nearer mean entry goes on top.
+            # Ordered descent by tile vote: nearer entry goes on top.
             m1 = jnp.min(jnp.where(h1, t1, BIG))
             m2 = jnp.min(jnp.where(h2, t2, BIG))
-            near = jnp.where(m1 <= m2, c1, c2)
-            far = jnp.where(m1 <= m2, c2, c1)
+            near = jnp.where(m1 <= m2, lft, lft + 1)
+            far = jnp.where(m1 <= m2, lft + 1, lft)
             near_hit = jnp.where(m1 <= m2, h1a, h2a)
             far_hit = jnp.where(m1 <= m2, h2a, h1a)
-            # push far first, then near (near popped first)
             s1 = s + far_hit.astype(jnp.int32)
 
             @pl.when(far_hit)
@@ -198,8 +199,7 @@ def _closest_kernel(side: int, n_faces: int,
             def _():
                 stack[s1] = near
 
-            s2 = s1 + near_hit.astype(jnp.int32)
-            return tb, bf, bfr, s2
+            return tb, bf, bfr, s1 + near_hit.astype(jnp.int32)
 
         tb, bf, bfr, sp = jax.lax.cond(
             cnt > 0, leaf_fn, internal_fn, (t_best, bface, bfront, sp)
@@ -224,14 +224,14 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str):
     comps, n = _pad_rays(o, d)
     g = comps[0].shape[0]
     side = {"front": 0, "back": 1, "both": 2}[hit_side]
-    kernel = functools.partial(_closest_kernel, side, int(pack.face_v.shape[0]))
+    kernel = functools.partial(_closest_kernel, side, int(pack.pallas_faces.shape[0]))
     ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
     t, face, front = pl.pallas_call(
         kernel,
         grid=(g // SUBL,),
-        in_specs=[smem1, arr, arr, arr, arr, arr, arr] + [ray_spec] * 6,
+        in_specs=[smem1, arr, arr] + [ray_spec] * 6,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((g, LANES), jnp.float32),
@@ -242,8 +242,7 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str):
         interpret=jax.default_backend() != "tpu",
     )(
         jnp.asarray([root], jnp.int32),
-        pack.bvh_bmin, pack.bvh_bmax, pack.bvh_left, pack.bvh_count,
-        pack.verts, pack.face_v,
+        pack.pallas_nodes, pack.pallas_faces,
         *comps,
     )
     return (
@@ -254,7 +253,7 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str):
 
 
 def _anyhit_kernel(n_faces: int, bias: float,
-                   root_ref, bmin, bmax, left, count, vert, fv,
+                   root_ref, nodes, faces,
                    ox, oy, oz, dx, dy, dz, tmax,
                    occ_out, stack):
     pox, poy, poz = ox[...], oy[...], oz[...]
@@ -266,7 +265,8 @@ def _anyhit_kernel(n_faces: int, bias: float,
     root = root_ref[0]
 
     big = jnp.full(pox.shape, BIG)
-    _, root_hit = _box_test(bmin, bmax, root, pox, poy, poz, idx, idy, idz, big)
+    root_row = _row(nodes, root)
+    _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, big)
     stack[0] = root
     sp0 = jnp.where(jnp.any(root_hit), 1, 0)
 
@@ -278,35 +278,36 @@ def _anyhit_kernel(n_faces: int, bias: float,
         sp, occ = c
         node = stack[sp - 1]
         sp = sp - 1
-        cnt = count[node]
-        lft = left[node]
+        row = _row(nodes, node)
+        lft = row[6].astype(jnp.int32)
+        cnt = row[7].astype(jnp.int32)
 
         def leaf_fn(args):
             o_, s = args
             for k in range(LEAF_SIZE):
                 fidx = jnp.minimum(lft + k, n_faces - 1)
-                t, fr, ok = _tri_test(vert, fv, fidx, pox, poy, poz,
+                t, fr, ok = _tri_test(faces, fidx, pox, poy, poz,
                                       pdx, pdy, pdz, 0)  # front-only
                 o_ = o_ | (ok & (t > bias) & (t < tm) & (k < cnt))
             return o_, s
 
         def internal_fn(args):
             o_, s = args
-            c1 = lft
-            c2 = lft + 1
-            _, h1 = _box_test(bmin, bmax, c1, pox, poy, poz, idx, idy, idz, big)
-            _, h2 = _box_test(bmin, bmax, c2, pox, poy, poz, idx, idy, idz, big)
-            h1a = jnp.any(h1 & ~o_)
-            h2a = jnp.any(h2 & ~o_)
+            row1 = _row(nodes, lft)
+            row2 = _row(nodes, lft + 1)
+            _, h1 = _box_test(row1, 0, pox, poy, poz, idx, idy, idz, big)
+            _, h2 = _box_test(row2, 0, pox, poy, poz, idx, idy, idz, big)
+            h1a = jnp.any(h1 & jnp.logical_not(o_))
+            h2a = jnp.any(h2 & jnp.logical_not(o_))
             s1 = s + h1a.astype(jnp.int32)
 
             @pl.when(h1a)
             def _():
-                stack[s] = c1
+                stack[s] = lft
 
             @pl.when(h2a)
             def _():
-                stack[s1] = c2
+                stack[s1] = lft + 1
 
             return o_, s1 + h2a.astype(jnp.int32)
 
@@ -326,22 +327,21 @@ def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max):
         jnp.concatenate([tmax_full, jnp.zeros((pad,), jnp.float32)])
         if pad else tmax_full
     ).reshape(g, LANES)
-    kernel = functools.partial(_anyhit_kernel, int(pack.face_v.shape[0]), t_min)
+    kernel = functools.partial(_anyhit_kernel, int(pack.pallas_faces.shape[0]), t_min)
     ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(g // SUBL,),
-        in_specs=[smem1, arr, arr, arr, arr, arr, arr] + [ray_spec] * 7,
+        in_specs=[smem1, arr, arr] + [ray_spec] * 7,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((g, LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
     )(
         jnp.asarray([root], jnp.int32),
-        pack.bvh_bmin, pack.bvh_bmax, pack.bvh_left, pack.bvh_count,
-        pack.verts, pack.face_v,
+        pack.pallas_nodes, pack.pallas_faces,
         *comps, tmax_p,
     )
     return occ.reshape(-1)[:n].astype(bool)

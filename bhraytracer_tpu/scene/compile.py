@@ -161,6 +161,18 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
     if not bcount_l:
         bvh_count = np.ones((1,), i32)  # degenerate leaf w/ 1 dummy face
 
+    nb = bvh_bmin.shape[0]
+    pallas_nodes = np.zeros((nb, 16), f32)
+    pallas_nodes[:, 0:3] = bvh_bmin
+    pallas_nodes[:, 3:6] = bvh_bmax
+    pallas_nodes[:, 6] = bvh_left.astype(f32)
+    pallas_nodes[:, 7] = bvh_count.astype(f32)
+    nf_all = face_v.shape[0]
+    pallas_faces = np.zeros((nf_all, 16), f32)
+    pallas_faces[:, 0:3] = verts[face_v[:, 0]]
+    pallas_faces[:, 3:6] = verts[face_v[:, 1]]
+    pallas_faces[:, 6:9] = verts[face_v[:, 2]]
+
     if msh:
         msh_itm = np.stack([r[0] for r in msh])
         msh_tm = np.stack([r[1] for r in msh])
@@ -230,7 +242,7 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
         verts=verts, normals=normals, uvs=uvs,
         face_v=face_v, face_vn=face_vn, face_vt=face_vt, face_mtl=face_mtl,
         bvh_bmin=bvh_bmin, bvh_bmax=bvh_bmax, bvh_left=bvh_left,
-        bvh_count=bvh_count,
+        bvh_count=bvh_count, pallas_nodes=pallas_nodes, pallas_faces=pallas_faces,
         **{k: v for k, v in mtl.items()},
         tm_tex=tm_tex, tm_itm=tm_itm, tm_pos=tm_pos,
         tex_kind=tex_kind, tex_c1=tex_c1, tex_c2=tex_c2, tex_wh=tex_wh,

@@ -56,6 +56,11 @@ class ScenePack:
     bvh_bmax: Array  # (B,3)
     bvh_left: Array  # (B,) i32 left child (global) / leaf face start (global)
     bvh_count: Array  # (B,) i32 leaf face count (0 = internal)
+    # Row-table mirrors for the Pallas packet kernel (dynamic pl.ds row
+    # loads; Mosaic cannot scalar-gather 1-D VMEM): node row =
+    # [bmin, bmax, left, count, pad...]; face row = [v0, v1, v2, pad...].
+    pallas_nodes: Array  # (B,16) f32
+    pallas_faces: Array  # (F,16) f32
 
     # ---- material table (MtlBlinn params; materials.h:20-61) ----
     mtl_diffuse: Array  # (M,3)
