@@ -19,6 +19,82 @@ import numpy as np
 BASELINE_SEGMENTS_PER_SEC = 2.5e6  # reference 16-thread CPU midpoint
 
 
+def _bench_scene():
+    """The tiny scene plus a teapot-class mesh: exercises the fused analytic
+    kernels AND the packet BVH kernel, like the reference's proj11/proj12
+    headline scenes (spheres + planes + teapot)."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from bhraytracer_tpu.scene import desc as D
+    from bhraytracer_tpu.scene.obj_loader import load_obj
+
+    from bhraytracer_tpu.scene.compile import compile_scene
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    teapot = os.path.join(repo, "assets", "Resource", "Data", "teapot.obj")
+    if not os.path.exists(teapot):
+        subprocess.run([sys.executable, os.path.join(repo, "tools", "gen_assets.py"),
+                        os.path.join(repo, "assets")], check=True)
+
+    sd = _tiny_scene_desc()
+    mesh = load_obj(teapot)
+    sd.meshes.append(mesh)
+    t = D.Transform()
+    t.scale(0.25, 0.25, 0.25)
+    t.translate(np.array([0.0, 2.5, 0.0]))
+    sd.nodes.append(D.NodeDesc(kind="mesh", name="teapot", transform=t,
+                               material=0, mesh=len(sd.meshes) - 1))
+    return compile_scene(sd), sd.camera
+
+
+def _tiny_scene_desc():
+    """SceneDesc variant of __graft_entry__._tiny_scene."""
+    import numpy as np
+
+    from bhraytracer_tpu.scene import desc as D
+
+    sd = D.SceneDesc()
+    red = D.MaterialDesc(name="red")
+    red.diffuse = D.TexturedColorDesc(color=np.array([0.8, 0.2, 0.2]))
+    red.specular = D.TexturedColorDesc(color=np.array([0.5, 0.5, 0.5]))
+    red.glossiness = 20.0
+    glass = D.MaterialDesc(name="glass")
+    glass.diffuse = D.TexturedColorDesc(color=np.zeros(3))
+    glass.specular = D.TexturedColorDesc(color=np.array([0.1, 0.1, 0.1]))
+    glass.glossiness = 100.0
+    glass.refraction = D.TexturedColorDesc(color=np.array([0.9, 0.9, 0.9]))
+    glass.ior = 1.52
+    white = D.MaterialDesc(name="white")
+    white.diffuse = D.TexturedColorDesc(color=np.array([0.9, 0.9, 0.9]))
+    white.specular = D.TexturedColorDesc(color=np.zeros(3))
+    sd.materials += [red, glass, white]
+    t1 = D.Transform(); t1.scale(1.5, 1.5, 1.5); t1.translate(np.array([-1.5, 0.0, 1.5]))
+    sd.nodes.append(D.NodeDesc(kind="sphere", name="s1", transform=t1, material=0))
+    t2 = D.Transform(); t2.translate(np.array([1.5, 0.0, 1.0]))
+    sd.nodes.append(D.NodeDesc(kind="sphere", name="s2", transform=t2, material=1))
+    t3 = D.Transform(); t3.scale(20.0, 20.0, 20.0)
+    sd.nodes.append(D.NodeDesc(kind="plane", name="ground", transform=t3, material=2))
+    sd.lights.append(D.LightDesc(kind="point", intensity=np.full(3, 50.0),
+                                 position=np.array([4.0, -4.0, 8.0]), size=0.5))
+    sd.lights.append(D.LightDesc(kind="direct", intensity=np.full(3, 0.3),
+                                 direction=np.array([1.0, 0.5, -1.0]) / np.linalg.norm([1.0, 0.5, -1.0])))
+    sd.background = D.TexturedColorDesc(color=np.array([0.1, 0.2, 0.3]))
+    sd.environment = D.TexturedColorDesc(color=np.array([0.2, 0.2, 0.2]))
+    cam = D.Camera()
+    cam.pos = np.array([0.0, -8.0, 3.0])
+    d = np.array([0.0, 8.0, -2.0]); cam.dir = d / np.linalg.norm(d)
+    x = np.cross(cam.dir, np.array([0.0, 0.0, 1.0])); up = np.cross(x, cam.dir)
+    cam.up = up / np.linalg.norm(up)
+    cam.fov = 40.0
+    cam.width, cam.height = 64, 48
+    sd.camera = cam
+    return sd
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -27,12 +103,11 @@ def main():
 
     enable_compilation_cache()
 
-    from __graft_entry__ import _tiny_scene
     from bhraytracer_tpu.config import RenderConfig
     from bhraytracer_tpu.models.pathtracer import render_chunk_staged
     from bhraytracer_tpu.ops.camera import from_scene_camera
 
-    pack, cam = _tiny_scene()
+    pack, cam = _bench_scene()
     cam.width, cam.height = 800, 600
     cfg = RenderConfig(
         spp=1,

@@ -90,8 +90,8 @@ def train_denoiser(
     """Self-supervised training on (low-spp, high-spp) render pairs."""
     tx = optax.adam(lr)
     opt_state = tx.init(params)
-    noisy = jnp.asarray(noisy)
-    clean = jnp.asarray(clean)
+    noisy, _, _ = _pad4(jnp.asarray(noisy))
+    clean, _, _ = _pad4(jnp.asarray(clean))
 
     @jax.jit
     def step(params, opt_state, idx):

@@ -218,9 +218,30 @@ def _closest_kernel(side: int, n_faces: int,
     front_out[...] = bfront
 
 
-def bvh_closest_pallas(pack, root, o, d, hit_side: str):
+def _coherence_order(o, d):
+    """Sort key grouping rays by direction octant (and coarse origin) so
+    packet tiles stay coherent — incoherent tiles traverse the union of
+    their rays' BVH paths."""
+    import jax.numpy as jnp
+
+    oct_ = (
+        (d[:, 0] > 0).astype(jnp.int32)
+        + 2 * (d[:, 1] > 0).astype(jnp.int32)
+        + 4 * (d[:, 2] > 0).astype(jnp.int32)
+    )
+    return jnp.argsort(oct_, stable=True)
+
+
+def bvh_closest_pallas(pack, root, o, d, hit_side: str, reorder: bool = True):
     """Packet-traversal closest hit. o, d: (N,3) LOCAL rays; returns
     (t, face, front) with t = BIG on miss."""
+    if reorder:
+        order = _coherence_order(o, d)
+        inv = jnp.argsort(order, stable=True)
+        t, face, front = bvh_closest_pallas(
+            pack, root, o[order], d[order], hit_side, reorder=False
+        )
+        return t[inv], face[inv], front[inv]
     comps, n = _pad_rays(o, d)
     g = comps[0].shape[0]
     side = {"front": 0, "back": 1, "both": 2}[hit_side]
@@ -270,9 +291,11 @@ def _anyhit_kernel(n_faces: int, bias: float,
     stack[0] = root
     sp0 = jnp.where(jnp.any(root_hit), 1, 0)
 
+    # occlusion carried as int32 0/1: Mosaic cannot legalize i1 vectors
+    # through scf.if (lax.cond) carries.
     def cond(c):
         sp, occ = c
-        return (sp > 0) & jnp.logical_not(jnp.all(occ))
+        return (sp > 0) & (jnp.min(occ) < 1)
 
     def body(c):
         sp, occ = c
@@ -288,7 +311,8 @@ def _anyhit_kernel(n_faces: int, bias: float,
                 fidx = jnp.minimum(lft + k, n_faces - 1)
                 t, fr, ok = _tri_test(faces, fidx, pox, poy, poz,
                                       pdx, pdy, pdz, 0)  # front-only
-                o_ = o_ | (ok & (t > bias) & (t < tm) & (k < cnt))
+                hit = ok & (t > bias) & (t < tm) & (k < cnt)
+                o_ = jnp.maximum(o_, hit.astype(jnp.int32))
             return o_, s
 
         def internal_fn(args):
@@ -297,8 +321,9 @@ def _anyhit_kernel(n_faces: int, bias: float,
             row2 = _row(nodes, lft + 1)
             _, h1 = _box_test(row1, 0, pox, poy, poz, idx, idy, idz, big)
             _, h2 = _box_test(row2, 0, pox, poy, poz, idx, idy, idz, big)
-            h1a = jnp.any(h1 & jnp.logical_not(o_))
-            h2a = jnp.any(h2 & jnp.logical_not(o_))
+            live = o_ < 1
+            h1a = jnp.any(h1 & live)
+            h2a = jnp.any(h2 & live)
             s1 = s + h1a.astype(jnp.int32)
 
             @pl.when(h1a)
@@ -314,11 +339,21 @@ def _anyhit_kernel(n_faces: int, bias: float,
         occ, sp = jax.lax.cond(cnt > 0, leaf_fn, internal_fn, (occ, sp))
         return sp, occ
 
-    _, occ = jax.lax.while_loop(cond, body, (sp0, jnp.zeros(pox.shape, bool)))
-    occ_out[...] = occ.astype(jnp.int32)
+    _, occ = jax.lax.while_loop(
+        cond, body, (sp0, jnp.zeros(pox.shape, jnp.int32))
+    )
+    occ_out[...] = occ
 
 
-def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max):
+def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = True):
+    if reorder:
+        order = _coherence_order(o, d)
+        inv = jnp.argsort(order, stable=True)
+        occ = bvh_anyhit_pallas(
+            pack, root, o[order], d[order], t_min,
+            jnp.broadcast_to(t_max, (o.shape[0],))[order], reorder=False
+        )
+        return occ[inv]
     comps, n = _pad_rays(o, d)
     g = comps[0].shape[0]
     tmax_full = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
