@@ -31,7 +31,14 @@ from bhraytracer_tpu.utils.ppm import read_ppm
 
 def _read_float(elem: ET.Element, default: float, name: str = "value") -> float:
     v = elem.get(name)
-    return float(v) if v is not None else default
+    if v is None:
+        return default
+    try:
+        return float(v)
+    except ValueError:
+        # TinyXML2's QueryDoubleAttribute leaves the default on malformed
+        # values (some bundled scenes contain empty attributes).
+        return default
 
 
 def _read_vector(elem: ET.Element, default: np.ndarray) -> np.ndarray:

@@ -47,15 +47,15 @@ def revolve(profile, n_seg: int = 64):
             continue
         if n0 == 1:
             for k in range(n1):
-                faces.append((s0, s1 + k, s1 + (k + 1) % n1))
+                faces.append((s0, s1 + (k + 1) % n1, s1 + k))
         elif n1 == 1:
             for k in range(n0):
-                faces.append((s0 + k, s1, s0 + (k + 1) % n0))
+                faces.append((s0 + k, s0 + (k + 1) % n0, s1))
         else:
             for k in range(n_seg):
                 k2 = (k + 1) % n_seg
-                faces.append((s0 + k, s1 + k, s1 + k2))
-                faces.append((s0 + k, s1 + k2, s0 + k2))
+                faces.append((s0 + k, s1 + k2, s1 + k))
+                faces.append((s0 + k, s0 + k2, s1 + k2))
     return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
 
 
@@ -123,11 +123,16 @@ def write_obj(path, verts, faces):
             f.write(f"f {a} {b} {c}\n")
 
 
+def box(w=1.0, d=1.0, h=1.0):
+    return thin_slab(w, d, h)
+
+
 def main(root: str) -> None:
     v, f = revolve(teapot_profile(), n_seg=64)
     for name in [
         "Resource/Data/teapot.obj",
         "Resource/Data/teapot2.obj",
+        "Resource/Data/cat.obj",
         "Resource/BHRTFinal/01_teapot.obj",
     ]:
         write_obj(os.path.join(root, name), v, f)
@@ -136,9 +141,48 @@ def main(root: str) -> None:
     v, f = torus()
     write_obj(os.path.join(root, "Resource/Data/metalBar.obj"), v, f)
     v, f = thin_slab()
-    write_obj(os.path.join(root, "Resource/Data/blend2.obj"), v, f)
+    for name in [
+        "Resource/Data/blend2.obj",
+        "Resource/Data/backfaceTest.obj",
+        "Resource/BHRTFinal/10_window.obj",
+        "Resource/BHRTFinal/08_waterMesh.obj",
+        "Resource/TestRoom/00_WallLeft.obj",
+        "Resource/TestRoom/00_WallRight.obj",
+        "Resource/TestRoom/00_WallTopDown.obj",
+    ]:
+        write_obj(os.path.join(root, name), v, f)
     v, f = revolve([(0.0, 0.0), (3.0, 0.0), (3.6, 2.0), (2.6, 4.2), (0.0, 4.6)], 48)
     write_obj(os.path.join(root, "Resource/BHRTFinal/02_cup.obj"), v, f)
+    v, f = box(4.0, 4.0, 0.8)
+    for name in [
+        "Resource/Data/background.obj",
+        "Resource/BHRTFinal/03_base.obj",
+        "Resource/BHRTFinal/03_base_Internal.obj",
+        "Resource/BHRTFinal/06_bigBase.obj",
+        "Resource/BHRTFinal/07_OverallRoom.obj",
+        "Resource/BHRTFinal/12_woodStand.obj",
+    ]:
+        write_obj(os.path.join(root, name), v, f)
+    # Stand-in textures referenced by the final scenes.
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bhraytracer_tpu.utils.png import write_png
+
+    yy, xx = np.mgrid[0:256, 0:256]
+    china = np.stack([
+        200 + 40 * np.sin(xx / 9.0) * np.sin(yy / 9.0),
+        200 + 30 * np.sin(xx / 17.0),
+        230 + 20 * np.cos(yy / 13.0),
+    ], -1).clip(0, 255).astype(np.uint8)
+    wood = np.stack([
+        120 + 60 * np.sin((xx + 3 * np.sin(yy / 23.0)) / 6.0),
+        80 + 40 * np.sin((xx + 3 * np.sin(yy / 23.0)) / 6.0),
+        40 + 20 * np.sin((xx + 3 * np.sin(yy / 23.0)) / 6.0),
+    ], -1).clip(0, 255).astype(np.uint8)
+    for name, img in [("china.png", china), ("wood.png", wood)]:
+        path = os.path.join(root, "Resource", "BHRTFinal", name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_png(path, img)
     print(f"wrote assets under {root}")
 
 
