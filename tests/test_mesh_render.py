@@ -89,8 +89,11 @@ def test_mesh_shadow_on_ground(teapot_assets):
 
     pack, cam = load_scene(scene, resource_root=root)
     light = np.array([6.0, -6.0, 8.0])
-    # Point on the ground on the far side of the teapot from the light.
-    p_shadow = np.array([-1.6, 1.6, 0.0])
+    # Ground point whose segment to the light crosses the teapot BODY wall
+    # (front-face entry): points whose segments graze the silhouette or pass
+    # under the base are not occluded (front-only mesh shadows + the
+    # grazing-angle cull, both reference semantics).
+    p_shadow = np.array([-5.0, 5.0, 0.0])
     p_lit = np.array([8.0, -8.0, 0.0])
     o = jnp.asarray(np.stack([p_shadow, p_lit]), jnp.float32)
     d = jnp.asarray(np.stack([light - p_shadow, light - p_lit]), jnp.float32)
