@@ -135,7 +135,7 @@ def _box_test(row, lo, pox, poy, poz, idx, idy, idz, t_best):
 
 def _closest_kernel(side: int, n_faces: int,
                     root_ref, nodes, faces,
-                    ox, oy, oz, dx, dy, dz,
+                    ox, oy, oz, dx, dy, dz, tinit,
                     t_out, face_out, front_out,
                     stack):
     pox, poy, poz = ox[...], oy[...], oz[...]
@@ -145,7 +145,7 @@ def _closest_kernel(side: int, n_faces: int,
     idz = 1.0 / jnp.where(pdz == 0.0, 1e-30, pdz)
     root = root_ref[0]
 
-    t0 = jnp.full(pox.shape, BIG)
+    t0 = tinit[...]
     root_row = _row(nodes, root)
     _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, t0)
     stack[0] = root
@@ -218,33 +218,52 @@ def _closest_kernel(side: int, n_faces: int,
     front_out[...] = bfront
 
 
-def _coherence_order(o, d):
-    """Sort key grouping rays by direction octant (and coarse origin) so
-    packet tiles stay coherent — incoherent tiles traverse the union of
-    their rays' BVH paths."""
-    import jax.numpy as jnp
-
+def _coherence_order(pack, root, o, d, t_init):
+    """Sort key: lanes that cannot hit the mesh (root-box miss, or the box
+    is beyond their current-best t) go last — their tiles early-exit at the
+    kernel's root test — and live lanes group by direction octant so packet
+    tiles stay coherent."""
+    bmin = pack.pallas_nodes[root, 0:3]
+    bmax = pack.pallas_nodes[root, 3:6]
+    inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+    ta = (bmin[None, :] - o) * inv
+    tb = (bmax[None, :] - o) * inv
+    tlo = jnp.max(jnp.minimum(ta, tb), axis=1)
+    thi = jnp.min(jnp.maximum(ta, tb), axis=1)
+    live = (tlo <= thi) & (thi >= 0.0) & (tlo < t_init)
     oct_ = (
         (d[:, 0] > 0).astype(jnp.int32)
         + 2 * (d[:, 1] > 0).astype(jnp.int32)
         + 4 * (d[:, 2] > 0).astype(jnp.int32)
     )
-    return jnp.argsort(oct_, stable=True)
+    key = jnp.where(live, oct_, 8)
+    return jnp.argsort(key, stable=True)
 
 
-def bvh_closest_pallas(pack, root, o, d, hit_side: str, reorder: bool = True):
+def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
+                       reorder: bool = True):
     """Packet-traversal closest hit. o, d: (N,3) LOCAL rays; returns
-    (t, face, front) with t = BIG on miss."""
+    (t, face, front) with t = BIG on miss. t_init (N,) seeds per-lane
+    pruning with the best hit found so far (analytic instances)."""
+    if t_init is None:
+        t_init = jnp.full((o.shape[0],), BIG)
     if reorder:
-        order = _coherence_order(o, d)
+        order = _coherence_order(pack, root, o, d, t_init)
         inv = jnp.argsort(order, stable=True)
         t, face, front = bvh_closest_pallas(
-            pack, root, o[order], d[order], hit_side, reorder=False
+            pack, root, o[order], d[order], hit_side, t_init[order],
+            reorder=False,
         )
         return t[inv], face[inv], front[inv]
     comps, n = _pad_rays(o, d)
     g = comps[0].shape[0]
     side = {"front": 0, "back": 1, "both": 2}[hit_side]
+    pad = g * LANES - n
+    ti = (
+        jnp.concatenate([t_init.astype(jnp.float32),
+                         jnp.zeros((pad,), jnp.float32)])
+        if pad else t_init.astype(jnp.float32)
+    ).reshape(g, LANES)
     kernel = functools.partial(_closest_kernel, side, int(pack.pallas_faces.shape[0]))
     ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -252,7 +271,7 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str, reorder: bool = True):
     t, face, front = pl.pallas_call(
         kernel,
         grid=(g // SUBL,),
-        in_specs=[smem1, arr, arr] + [ray_spec] * 6,
+        in_specs=[smem1, arr, arr] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((g, LANES), jnp.float32),
@@ -264,7 +283,7 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str, reorder: bool = True):
     )(
         jnp.asarray([root], jnp.int32),
         pack.pallas_nodes, pack.pallas_faces,
-        *comps,
+        *comps, ti,
     )
     return (
         t.reshape(-1)[:n],
@@ -347,11 +366,11 @@ def _anyhit_kernel(n_faces: int, bias: float,
 
 def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = True):
     if reorder:
-        order = _coherence_order(o, d)
+        tm = jnp.broadcast_to(t_max, (o.shape[0],))
+        order = _coherence_order(pack, root, o, d, tm)
         inv = jnp.argsort(order, stable=True)
         occ = bvh_anyhit_pallas(
-            pack, root, o[order], d[order], t_min,
-            jnp.broadcast_to(t_max, (o.shape[0],))[order], reorder=False
+            pack, root, o[order], d[order], t_min, tm[order], reorder=False
         )
         return occ[inv]
     comps, n = _pad_rays(o, d)

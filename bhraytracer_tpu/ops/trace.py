@@ -313,7 +313,9 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
     for i in range(pack.n_msh):
         ol, dl = _one_local(pack.msh_itm[i], pack.msh_pos[i], o, d)
         if use_pallas_bvh:
-            t, face, front = bvh_closest_pallas(pack, pack.msh_root[i], ol, dl, hit_side)
+            t, face, front = bvh_closest_pallas(
+                pack, pack.msh_root[i], ol, dl, hit_side, t_init=best_t
+            )
         else:
             t, face, front = bvh_closest(pack, pack.msh_root[i], ol, dl, hit_side, best_t)
         upd = t < best_t
