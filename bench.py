@@ -20,9 +20,33 @@ BASELINE_SEGMENTS_PER_SEC = 2.5e6  # reference 16-thread CPU midpoint
 
 
 def _bench_scene():
-    """The tiny scene plus a teapot-class mesh: exercises the fused analytic
-    kernels AND the packet BVH kernel, like the reference's proj11/proj12
-    headline scenes (spheres + planes + teapot)."""
+    """The reference's compiled-in headline scene (proj12_backfaceTest.xml:
+    Cornell box + glass teapot/pane/sphere — the scene behind the derived
+    2.5M segs/s CPU baseline) with generated stand-in meshes; falls back to
+    a built-in scene when the reference checkout is absent."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ref_scene = "/root/reference/BHRayTracer/Resource/Data/proj12_backfaceTest.xml"
+    if os.path.exists(ref_scene):
+        assets = os.path.join(repo, "assets")
+        if not os.path.exists(os.path.join(assets, "Resource", "Data", "teapot.obj")):
+            subprocess.run([sys.executable, os.path.join(repo, "tools", "gen_assets.py"),
+                            assets], check=True)
+        from bhraytracer_tpu.scene.xml_loader import load_scene
+
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return load_scene(ref_scene, resource_root=assets)
+    return _builtin_bench_scene()
+
+
+def _builtin_bench_scene():
+    """Fallback: tiny scene plus a teapot-class mesh."""
     import os
     import subprocess
     import sys

@@ -204,13 +204,15 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
     is_point = kind == 2
     is_direct = kind == 1
     shadow_d = jnp.where(is_point[:, None], sdir, -lvec)
-    shadow_d = jnp.where(
-        (is_point | is_direct)[:, None], shadow_d, jnp.array([0.0, 0.0, 1.0])
-    )
+    # Lanes that cannot contribute (masked out, or ambient lights) trace a
+    # canonical miss ray so reordering retires their tiles.
+    cand = mask & (is_point | is_direct)
+    shadow_o = jnp.where(cand[:, None], p, _MISS_O)
+    shadow_d = jnp.where(cand[:, None], shadow_d, _MISS_D)
     t_max = jnp.where(is_point, 1.0, BIG)
     occ = trace_shadow(
         pack,
-        p,
+        shadow_o,
         shadow_d,
         t_max,
         cfg.shadow_bias,
@@ -374,12 +376,15 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
     def cond(s):
         return jnp.any(~s["settled"])
 
-    def body(s):
-        ray_o = s["p"] - s["nrm"] * cfg.bias
-        ray_d = s["d"]
+    def make_body(ior_arr, rgloss_arr):
+      def body(s):
         live = ~s["settled"]
+        # Settled lanes would otherwise keep re-tracing their last real ray.
+        ray_o = jnp.where(live[:, None], s["p"] - s["nrm"] * cfg.bias, _MISS_O)
+        ray_d = jnp.where(live[:, None], s["d"], _MISS_D)
         hit = trace_closest(pack, ray_o, ray_d, "both")
-        sres = resolve_hit(pack, ray_o, ray_d, hit, jnp.zeros(3), jnp.zeros(3))
+        sres = resolve_hit(pack, ray_o, ray_d, hit, jnp.zeros(3), jnp.zeros(3),
+                           minimal=True)
 
         # miss -> NANPurple sentinel (RefractionRecusive else-branch :514-518)
         miss = live & ~hit.hit
@@ -392,7 +397,7 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
         vv2 = -normalize(ray_d)
         c1 = dot(vv2, -vn2)
         s1 = safe_sqrt(1.0 - c1 * c1)
-        s2 = mtl.ior * s1
+        s2 = ior_arr * s1
         going_out = s2 <= 1.0
         c2 = safe_sqrt(1.0 - s2 * s2)
         vtn2 = vn2 * c2[:, None]
@@ -400,7 +405,7 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
         vt2 = vtn2 + vtp2
         kk = jax.random.fold_in(key, 40)
         kk = jax.random.fold_in(kk, s["it"])
-        vt2 = _glossy_refr_dir(vt2, vn2, rgloss, kk, 0, False, cfg.refr_gloss_tries)
+        vt2 = _glossy_refr_dir(vt2, vn2, rgloss_arr, kk, 0, False, cfg.refr_gloss_tries)
         out_o = sres.p + vn2 * cfg.bias
         # internal reflection: vR = -2 cos1 vN - vV (:582)
         vr = -2.0 * c1[:, None] * vn2 - vv2
@@ -436,6 +441,10 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
             it=s["it"] + 1,
         )
 
+      return body
+
+    body = make_body(mtl.ior, rgloss)
+
     if cfg.differentiable:
         # Fixed-trip scan: reverse-mode AD cannot cross while_loop. The body
         # is a fixpoint (settled lanes no-op), so extra trips are exact.
@@ -443,6 +452,41 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
             return jax.lax.cond(jnp.any(~s["settled"]), body, lambda x: x, s), None
 
         state, _ = jax.lax.scan(scan_body, state, None, length=cfg.tir_bounces + 1)
+        return state["case"], state["out_o"], state["out_d"], state["bounce"]
+
+    # Two-stage chain: most lanes settle within the first few trips (exit or
+    # early TIR); the long TIR tail re-compacts the stragglers to a quarter
+    # width so late iterations don't pay full-width traces. Stragglers
+    # beyond the tail capacity contribute black (same bias family as the
+    # refraction-child capacity; the reference's recursion has no cap).
+    head = min(3, cfg.tir_bounces + 1)
+
+    def cond_head(s):
+        return jnp.any(~s["settled"]) & (s["it"] < head)
+
+    state = jax.lax.while_loop(cond_head, body, state)
+
+    k2 = max(128, -(-n // 4) // 128 * 128)
+    if k2 < n:
+        unsettled = ~state["settled"]
+        order = jnp.argsort(state["settled"], stable=True)  # unsettled first
+        sel = order[:k2]
+        sel_valid = unsettled[sel]
+        sub = {k_: state[k_][sel] for k_ in
+               ("p", "nrm", "d", "bounce", "case", "out_o", "out_d")}
+        sub["settled"] = ~sel_valid
+        sub["it"] = state["it"]
+        body2 = make_body(mtl.ior[sel], rgloss[sel])
+        sub = jax.lax.while_loop(cond, body2, sub)
+        for k_ in ("case", "bounce"):
+            state[k_] = state[k_].at[sel].set(
+                jnp.where(sel_valid, sub[k_], state[k_][sel])
+            )
+        for k_ in ("out_o", "out_d"):
+            state[k_] = state[k_].at[sel].set(
+                jnp.where(sel_valid[:, None], sub[k_], state[k_][sel])
+            )
+        # unsettled lanes that didn't fit keep case NONE -> black.
     else:
         state = jax.lax.while_loop(cond, body, state)
     return state["case"], state["out_o"], state["out_d"], state["bounce"]
@@ -453,10 +497,22 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
 # ---------------------------------------------------------------------------
 
 
+_MISS_O = jnp.array([1.0e8, 1.0e8, 1.0e8])
+_MISS_D = jnp.array([0.0, 0.0, 1.0])
+
+
 def _shade_level(
     pack, cfg: RenderConfig, tasks: Tasks, level: int, key, dd_x, dd_y, pmap=None
 ) -> Tuple[LevelRecord, Tasks, Surface]:
     n = tasks.o.shape[0]
+    # Inactive lanes carry stale rays that would still pay full traversal:
+    # route them to a canonical miss ray so coherence reordering clusters
+    # them into instantly-retired tiles.
+    act = tasks.active[:, None]
+    tasks = tasks._replace(
+        o=jnp.where(act, tasks.o, _MISS_O),
+        d=jnp.where(act, tasks.d, _MISS_D),
+    )
     hit = trace_closest(pack, tasks.o, tasks.d, "front")
     surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y)
     shade = tasks.active & hit.hit

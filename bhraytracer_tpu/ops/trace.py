@@ -408,7 +408,7 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
 # ---------------------------------------------------------------------------
 
 
-def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y) -> Surface:
+def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surface:
     """Recompute the surface interaction differentiably from discrete hit ids.
 
     dd_x/dd_y are the camera pixel deltas used (reference-faithfully, even
@@ -417,14 +417,15 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y) -> Surface:
 
     Branches for geometry categories absent from the scene (static n_* = 0)
     are skipped entirely, as is the ray-differential math when the scene has
-    no texture maps to filter.
+    no texture maps to filter. `minimal=True` computes only p/n/z (the
+    refraction chain's needs), skipping uv/duvw/material resolution.
     """
     from bhraytracer_tpu.ops.linalg import safe_sqrt
 
     n = o.shape[0]
     kind = hit.kind
     z3 = jnp.zeros((n, 3))
-    want_duvw = pack.n_texmaps > 0
+    want_duvw = (pack.n_texmaps > 0) and not minimal
     branches = {}
 
     # --- sphere ---
@@ -443,15 +444,18 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y) -> Surface:
         t_s = jnp.where(hit.front, (-b - sq) * inv2a, (-b + sq) * inv2a)
         p_s = ol + t_s[:, None] * dl
         n_s = p_s  # N = local hit point (Sphere.cpp:57)
-        dn = normalize(jax.lax.stop_gradient(p_s))
-        uv_s = jnp.stack(
-            [
-                0.5 + jnp.arctan2(dn[:, 1], dn[:, 0]) / (2.0 * jnp.pi),
-                0.5 - jnp.arcsin(jnp.clip(dn[:, 2], -1.0, 1.0)) / jnp.pi,
-                jnp.zeros(n),
-            ],
-            -1,
-        )
+        if minimal:
+            uv_s = z3
+        else:
+            dn = normalize(jax.lax.stop_gradient(p_s))
+            uv_s = jnp.stack(
+                [
+                    0.5 + jnp.arctan2(dn[:, 1], dn[:, 0]) / (2.0 * jnp.pi),
+                    0.5 - jnp.arcsin(jnp.clip(dn[:, 2], -1.0, 1.0)) / jnp.pi,
+                    jnp.zeros(n),
+                ],
+                -1,
+            )
         branches[KIND_SPHERE] = (t_s, p_s, n_s, uv_s, z3, z3, pack.sph_mtl[si],
                                  pack.sph_tm[si], s_itm, pack.sph_pos[si])
 
@@ -514,12 +518,15 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y) -> Surface:
             + bc[:, 1:2] * pack.normals[ni[:, 1]]
             + bc[:, 2:3] * pack.normals[ni[:, 2]]
         )
-        ti = pack.face_vt[fi]
-        uv_m = (
-            bc[:, 0:1] * pack.uvs[ti[:, 0]]
-            + bc[:, 1:2] * pack.uvs[ti[:, 1]]
-            + bc[:, 2:3] * pack.uvs[ti[:, 2]]
-        )
+        if minimal:
+            uv_m = z3
+        else:
+            ti = pack.face_vt[fi]
+            uv_m = (
+                bc[:, 0:1] * pack.uvs[ti[:, 0]]
+                + bc[:, 1:2] * pack.uvs[ti[:, 1]]
+                + bc[:, 2:3] * pack.uvs[ti[:, 2]]
+            )
         mtl_m = jnp.where(pack.msh_mtl[mi] >= 0, pack.msh_mtl[mi], pack.face_mtl[fi])
         branches[KIND_MESH] = (t_m, p_m, n_m, uv_m, z3, z3, mtl_m,
                                pack.msh_tm[mi], m_itm, pack.msh_pos[mi])

@@ -115,3 +115,63 @@ def test_bvh_packet_shadow_matches_jnp(mesh_scene, rng):
     finally:
         T.set_pallas_mode("auto")
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_two_instances_share_mesh(tmp_path, rng):
+    """Two instances of one mesh with different transforms: closest hits
+    must respect each instance's frame (pallas and jnp paths agree)."""
+    import os
+    import subprocess
+    import sys
+
+    from bhraytracer_tpu.scene.xml_loader import load_scene
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tmp_path / "a"
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "gen_assets.py"), str(root)],
+        check=True, capture_output=True,
+    )
+    scene = tmp_path / "two.xml"
+    scene.write_text("""
+<xml><scene>
+  <object type="obj" name="Resource/Data/teapot.obj" material="m">
+    <scale value="0.2"/><translate x="-3"/>
+  </object>
+  <object type="obj" name="Resource/Data/teapot.obj" material="m">
+    <scale value="0.3"/><translate x="3"/>
+  </object>
+  <material type="blinn" name="m"><diffuse value="0.8"/></material>
+  <light type="point" name="l"><intensity value="10"/><position z="8"/></light>
+</scene>
+<camera><position y="-10" z="3"/><target z="1"/><up z="1"/>
+  <width value="32"/><height value="24"/></camera></xml>""")
+    pack, _ = load_scene(str(scene), resource_root=str(root))
+    assert pack.n_msh == 2
+
+    o = jnp.asarray(rng.normal(size=(400, 3)) * 5 + [0, -8, 2], jnp.float32)
+    d = jnp.asarray(rng.normal(size=(400, 3)), jnp.float32)
+    T.set_pallas_mode("off")
+    ref = T.trace_closest(pack, o, d, "front")
+    T.set_pallas_mode("on")
+    try:
+        out = T.trace_closest(pack, o, d, "front")
+    finally:
+        T.set_pallas_mode("auto")
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), rtol=1e-4, atol=1e-5)
+    hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(out.inst)[hit], np.asarray(ref.inst)[hit])
+
+
+def test_vmem_gate():
+    from bhraytracer_tpu.ops.pallas_bvh import VMEM_BUDGET, fits_vmem
+
+    class P:
+        pass
+
+    p = P()
+    p.pallas_nodes = np.zeros((100, 16), np.float32)
+    p.pallas_faces = np.zeros((200, 16), np.float32)
+    assert fits_vmem(p)
+    p.pallas_faces = np.zeros((VMEM_BUDGET // (128 * 4) + 1, 16), np.float32)
+    assert not fits_vmem(p)
