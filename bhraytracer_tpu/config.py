@@ -87,9 +87,10 @@ class RenderConfig:
         return self.gi_bounces + 1 + self.extra_refr_levels
 
     def refr_cap(self, n: int) -> int:
-        """Refraction-child slot count for a level of n tasks."""
+        """Refraction-child slot count for a level of n tasks (never more
+        than n: a level cannot have more candidates than lanes)."""
         k = int(np.ceil(n * self.refr_capacity))
-        return max(128, (k + 127) // 128 * 128)
+        return min(n, max(128, (k + 127) // 128 * 128))
 
     def level_sizes(self, chunk: int):
         """Task counts per level for a camera chunk of `chunk` lanes."""

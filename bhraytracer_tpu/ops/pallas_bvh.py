@@ -221,8 +221,9 @@ def _closest_kernel(side: int, n_faces: int,
 def _coherence_order(pack, root, o, d, t_init):
     """Sort key: lanes that cannot hit the mesh (root-box miss, or the box
     is beyond their current-best t) go last — their tiles early-exit at the
-    kernel's root test — and live lanes group by direction octant so packet
-    tiles stay coherent."""
+    kernel's root test — and live lanes group by (direction octant, coarse
+    origin cell) so packet tiles stay coherent even for secondary rays
+    (incoherent tiles traverse the union of their rays' paths)."""
     bmin = pack.pallas_nodes[root, 0:3]
     bmax = pack.pallas_nodes[root, 3:6]
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
@@ -236,7 +237,12 @@ def _coherence_order(pack, root, o, d, t_init):
         + 2 * (d[:, 1] > 0).astype(jnp.int32)
         + 4 * (d[:, 2] > 0).astype(jnp.int32)
     )
-    key = jnp.where(live, oct_, 8)
+    # Coarse 4x4x4 origin cell relative to the root box.
+    ext = jnp.maximum(bmax - bmin, 1e-6)
+    cell = jnp.clip(((o - bmin[None, :]) / ext[None, :] * 4.0), 0.0, 3.0)
+    cell = cell.astype(jnp.int32)
+    cell_id = cell[:, 0] + 4 * cell[:, 1] + 16 * cell[:, 2]
+    key = jnp.where(live, oct_ * 64 + cell_id, 8 * 64)
     return jnp.argsort(key, stable=True)
 
 
