@@ -72,6 +72,29 @@ def test_render_smoke(simple_scene):
     assert u8.dtype == np.uint8
 
 
+def test_render_chunk_under_128_lanes(simple_scene):
+    """refr_cap must clamp to the lane count: chunks smaller than the 128-slot
+    minimum (e.g. dryrun_multichip's 16 lanes/device) once crashed with a
+    broadcast-shape error in the compacted refraction selection."""
+    import jax
+    import jax.numpy as jnp
+
+    from bhraytracer_tpu.models.pathtracer import _render_chunk
+    from bhraytracer_tpu.ops.camera import from_scene_camera
+
+    pack, cam = load_scene(simple_scene)
+    cfg = RenderConfig(spp=1, gi_bounces=1, extra_refr_levels=0, tir_bounces=2,
+                       chunk_rays=16, texture_sample_count=1)
+    n = 16
+    idx = np.linspace(0, cam.width * cam.height - 1, n).astype(np.int64)
+    px = jnp.asarray(idx % cam.width, np.int32)
+    py = jnp.asarray(idx // cam.width, np.int32)
+    rad, _ = _render_chunk(pack, cfg, from_scene_camera(cam), cam.width,
+                           cam.height, px, py, jax.random.PRNGKey(0))
+    assert rad.shape == (n, 3)
+    assert np.isfinite(np.asarray(rad)).all()
+
+
 def test_background_on_miss(simple_scene):
     pack, cam = load_scene(simple_scene)
     cfg = RenderConfig(spp=1, gi_bounces=0, extra_refr_levels=0, chunk_rays=2048,
