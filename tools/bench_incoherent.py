@@ -1,0 +1,78 @@
+"""Micro-benchmark: packet-BVH closest-hit on fully-incoherent rays.
+
+The packet kernel's weak spot is incoherent (GI/secondary) rays: a tile
+traverses the union of its rays' paths, so throughput here tracks how well
+the coherence sort (ops/pallas_bvh._coherence_order) groups lanes.  Round-1
+reference points on one TPU v5e chip, 65K rays over the proj11 teapot scene:
+octant-only key 12.1 ms; octant+4x4x4-origin-cell key 10.9 ms (6.0M rays/s).
+Run after any traversal/sort-key change and compare.
+
+Usage: python tools/bench_incoherent.py [scene.xml] [--rays N]
+(defaults to the reference's proj11_0.xml with generated stand-in assets).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene", nargs="?",
+                    default="/root/reference/BHRayTracer/Resource/Data/proj11_0.xml")
+    ap.add_argument("--resource-root", default=None)
+    ap.add_argument("--rays", type=int, default=65536)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from bhraytracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import numpy as np
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from bhraytracer_tpu.ops import trace as T
+    from bhraytracer_tpu.scene.xml_loader import load_scene
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = args.resource_root or os.path.join(repo, "assets")
+    if not os.path.exists(os.path.join(root, "Resource", "Data", "teapot.obj")):
+        import subprocess
+
+        subprocess.run([sys.executable, os.path.join(repo, "tools", "gen_assets.py"),
+                        root], check=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pack, _ = load_scene(args.scene, resource_root=root)
+
+    rng = np.random.default_rng(0)
+    n = args.rays
+    # Origins scattered through the scene volume, directions uniform — the
+    # worst case the GI wavefront produces.
+    o = jnp.asarray(rng.uniform(-8, 8, (n, 3)) * np.array([1, 1, 0.5]) + [0, 0, 2],
+                    jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+
+    f = jax.jit(lambda o, d: T.trace_closest(pack, o, d, "front").t)
+    jax.block_until_ready(f(o, d))
+    t0 = time.time()
+    out = None
+    for _ in range(args.iters):
+        out = f(o, d)
+    jax.block_until_ready(out)
+    ms = (time.time() - t0) / args.iters * 1e3
+    print(f"incoherent closest-hit: {ms:.2f} ms for {n} rays "
+          f"({n / ms / 1e3:.1f}M rays/s) on {jax.default_backend()}")
+
+
+if __name__ == "__main__":
+    main()
