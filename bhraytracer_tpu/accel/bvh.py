@@ -8,7 +8,8 @@ words: per node AABB min/max, explicit child indices (siblings adjacent, as
 in cyBVH.h:93), and a contiguous [face_start, face_start+count) range for
 leaves (faces are reordered so every leaf is a contiguous slice).
 
-The traversal consuming this layout lives in ops/bvh_traverse.py.
+The traversals consuming this layout live in ops/trace.py (XLA while_loop
+short-stack: bvh_closest/bvh_anyhit) and ops/pallas_bvh.py (packet kernel).
 """
 
 from __future__ import annotations

@@ -4,7 +4,6 @@
 //   - PNG scanline unfiltering (hot loop of LodePNG decode; textures are
 //     decoded at scene-compile time, BHRayTracer/Textures/Texture.cpp:70)
 //   - BVH mid-split build over triangle bounds (cyBVH.h:122-328)
-//   - OBJ triangle parsing hot path (cyTriMesh.h:263+)
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
 // Each entry point has a pure-Python/numpy fallback; results are
