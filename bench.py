@@ -119,13 +119,16 @@ def _tiny_scene_desc():
     return sd
 
 
-def main():
+def _headline(iters: int = 10):
+    """Headline metric: ACTIVE traced segments/s on the reference's
+    compiled-in scene (proj12_backfaceTest) at 800x600, one 65536-lane chunk.
+
+    "Active" counts real queries only (live closest hits + issued shadow
+    rays + live refraction-chain trips) — NOT static level capacities; see
+    LevelRecord.segs. The 2.5M/s baseline is the reference CPU's estimated
+    rate for the same unit of work (BASELINE.md)."""
     import jax
     import jax.numpy as jnp
-
-    from bhraytracer_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from bhraytracer_tpu.config import RenderConfig
     from bhraytracer_tpu.models.pathtracer import render_chunk_staged
@@ -160,31 +163,158 @@ def main():
 
     jax.block_until_ready(run(0))  # compile all stages
 
-    iters = 10
     t0 = time.perf_counter()
-    out = None
-    for i in range(iters):
-        out = run(i + 1)
-    jax.block_until_ready(out)
+    outs = [run(i + 1) for i in range(iters)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
-    # Segments per camera lane: per tree level, each task lane issues one
-    # closest-hit and one shadow query (refraction-chain iterations add more;
-    # not counted — conservative).
-    total_lanes = sum(cfg.level_sizes(n))
-    segments = total_lanes * iters * 2
-    segs_per_sec = segments / dt
+    segments = sum(int(out[2].segments) for out in outs)
+    return segments / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "ray_segments_per_sec",
-                "value": round(segs_per_sec),
-                "unit": "segments/s",
-                "vs_baseline": round(segs_per_sec / BASELINE_SEGMENTS_PER_SEC, 3),
-            }
-        )
-    )
+
+def _full_1024(spp: int = 1):
+    """BASELINE.json config: forward render at 1024x1024, whole image."""
+    import jax
+    import jax.numpy as jnp
+
+    from bhraytracer_tpu.config import RenderConfig
+    from bhraytracer_tpu.models.pathtracer import render_chunk_staged
+    from bhraytracer_tpu.ops.camera import from_scene_camera
+
+    pack, cam = _bench_scene()
+    cam.width, cam.height = 1024, 1024
+    cfg = RenderConfig(spp=spp, gi_bounces=3, extra_refr_levels=2,
+                       tir_bounces=16, chunk_rays=65536,
+                       texture_sample_count=1)
+    cam_p = from_scene_camera(cam)
+    n = cfg.chunk_rays
+    total = cam.width * cam.height
+    key = jax.random.PRNGKey(0)
+
+    def run_chunk(start, s):
+        idx = np.minimum(np.arange(start, start + n), total - 1)
+        px = jnp.asarray(idx % cam.width, jnp.int32)
+        py = jnp.asarray(idx // cam.width, jnp.int32)
+        acc = jnp.zeros((n, 3))
+        zb = jnp.full((n,), 1e30)
+        ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
+        return render_chunk_staged(pack, cfg, cam_p, cam.width, cam.height,
+                                   px, py, ck, None, acc, zb, True)
+
+    jax.block_until_ready(run_chunk(0, 0))  # compile
+    t0 = time.perf_counter()
+    outs = []
+    for s in range(spp):
+        for start in range(0, total, n):
+            outs.append(run_chunk(start, s))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    segments = sum(int(o[2].segments) for o in outs)
+    rays = total * spp
+    return {"wall_s": round(dt, 3),
+            "segments_per_sec": round(segments / dt),
+            "camera_rays_per_sec": round(rays / dt),
+            "segments": segments}
+
+
+def _scaling_curve():
+    """Rays/s over a VIRTUAL 8-device CPU mesh (hardware multi-chip is not
+    available in this environment; this validates the dp sharding adds no
+    serialization, not ICI bandwidth). Runs in a subprocess so the CPU
+    platform + device-count flags apply before JAX init."""
+    import subprocess
+    import sys
+
+    code = r"""
+import json, os, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+import bench as B
+from bhraytracer_tpu.config import RenderConfig
+from bhraytracer_tpu.parallel.sharding import make_mesh, render_radiance_sharded
+from bhraytracer_tpu.scene.compile import compile_scene
+
+sd = B._tiny_scene_desc()
+pack = compile_scene(sd)
+cam = sd.camera
+cam.width, cam.height = 800, 600
+cfg = RenderConfig(spp=1, gi_bounces=2, extra_refr_levels=1, tir_bounces=4,
+                   chunk_rays=16384, texture_sample_count=1)
+from bhraytracer_tpu.ops.camera import from_scene_camera
+cam_p = from_scene_camera(cam)
+n = cfg.chunk_rays
+idx = np.arange(n)
+px = jnp.asarray(idx % cam.width, jnp.int32)
+py = jnp.asarray(idx // cam.width, jnp.int32)
+key = jax.random.PRNGKey(0)
+out = {}
+for ndev in (1, 2, 4, 8):
+    mesh = make_mesh(ndev)
+    fn = lambda k: render_radiance_sharded(pack, cfg, cam_p, cam.width,
+                                           cam.height, px, py, k, mesh)
+    r = fn(key)
+    jax.block_until_ready(r)
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r = fn(jax.random.fold_in(key, i))
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / iters
+    out[ndev] = n / dt
+print("SCALING " + json.dumps(out))
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    repo = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, cwd=repo, timeout=1800)
+    for line in r.stdout.splitlines():
+        if line.startswith("SCALING "):
+            rates = json.loads(line[len("SCALING "):])
+            base = rates["1"]
+            return {nd: {"rays_per_sec": round(v),
+                         "efficiency": round(v / (base * int(nd)), 3)}
+                    for nd, v in rates.items()}
+    raise RuntimeError(f"scaling subprocess failed: {r.stderr[-2000:]}")
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="also run the 1024x1024 BASELINE config and the "
+                         "virtual-mesh scaling curve")
+    args = ap.parse_args()
+
+    from bhraytracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    segs_per_sec = _headline()
+    line = {
+        "metric": "ray_segments_per_sec",
+        "value": round(segs_per_sec),
+        "unit": "segments/s",
+        "vs_baseline": round(segs_per_sec / BASELINE_SEGMENTS_PER_SEC, 3),
+    }
+
+    if args.full:
+        full = {"fwd_1024x1024": _full_1024()}
+        try:
+            full["scaling_virtual_cpu_mesh"] = _scaling_curve()
+            full["scaling_note"] = (
+                "8 virtual CPU devices (no multi-chip TPU hardware in this "
+                "environment); validates dp sharding, not ICI bandwidth")
+        except Exception as e:  # pragma: no cover
+            full["scaling_error"] = str(e)[:500]
+        line["full"] = full
+
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

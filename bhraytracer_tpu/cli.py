@@ -125,6 +125,9 @@ def cmd_render(args) -> int:
     segments = sum(cfg.level_sizes(min(cfg.chunk_rays, cam.width * cam.height))) * 2
     segments *= cfg.spp * max(1, (cam.width * cam.height) // min(cfg.chunk_rays, cam.width * cam.height))
     print(f"~{segments / max(dt, 1e-9) / 1e6:.2f}M ray segments/s")
+    dropped = aux.get("dropped_lanes", {})
+    if any(dropped.values()):
+        print(f"WARNING: dropped lanes (energy loss): {dropped}")
     write_png(args.output, image_to_u8(img))
     print(f"wrote {args.output}")
     if args.zbuffer:

@@ -74,6 +74,16 @@ class RenderConfig:
     # small tir_bounces (the scan always pays max iterations).
     differentiable: bool = False
 
+    # Two-stage TIR chain: after 3 full-width trips, recompact stragglers to
+    # quarter width. Stragglers beyond that tail contribute black — counted
+    # in LevelRecord.drop_tir; set False for a guaranteed-lossless chain
+    # (used by render_image's adaptive re-render of flagged chunks).
+    tir_tail_compaction: bool = True
+    # Re-render any chunk whose drop counters are nonzero with full
+    # refraction capacity + lossless TIR chain (one extra compile set, paid
+    # only when a loss is detected).
+    adaptive_full_capacity: bool = True
+
     # Refraction-child compaction: each level reserves capacity for at most
     # ceil(N * refr_capacity) refraction children (rounded up to 128 lanes).
     # The reference recursion expands every refractive hit; compaction keeps

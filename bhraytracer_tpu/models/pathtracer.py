@@ -26,6 +26,7 @@ Deliberate deviations from the reference, all documented:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Tuple
 
 import jax
@@ -89,6 +90,16 @@ class LevelRecord(NamedTuple):
     refr_absorb: jnp.ndarray  # (K,3) Beer-Lambert coefficient (0 = none)
     refr_env: jnp.ndarray  # (K,3) contribution if the refr child misses
     refr_add: jnp.ndarray  # (K,3) terminal contribution when no child
+    # Silent-energy-loss instrumentation (scalars): refraction candidates
+    # beyond the K-slot capacity, and TIR stragglers beyond the tail width.
+    # Both contribute black when nonzero; CI asserts zero on bundled scenes
+    # and render_image re-renders affected chunks at full capacity.
+    drop_refr: jnp.ndarray  # () i32
+    drop_tir: jnp.ndarray  # () i32
+    # ACTIVE traced segments at this level (closest hits on live lanes +
+    # real shadow queries + live refraction-chain trips) — the honest work
+    # count for rays/s benchmarks (static level_sizes over-counts dead lanes).
+    segs: jnp.ndarray  # () i32
 
 
 class Tasks(NamedTuple):
@@ -96,6 +107,14 @@ class Tasks(NamedTuple):
     d: jnp.ndarray  # (N,3)
     active: jnp.ndarray  # (N,)
     bounce: jnp.ndarray  # (N,) remaining reflect/refract budget
+
+
+class ChunkStats(NamedTuple):
+    """Per-chunk instrumentation scalars (device i32)."""
+
+    drop_refr: jnp.ndarray  # refraction-cap overflow lanes (black bias)
+    drop_tir: jnp.ndarray  # TIR-tail overflow lanes (black bias)
+    segments: jnp.ndarray  # ACTIVE traced segments (honest work count)
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +208,8 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, u):
 
 def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
     """Light::Illuminate with one shadow trace (lights.h:46-64,
-    PointLight.cpp:7-18). u: (N, >=2) uniforms. Returns irradiance (N,3)."""
+    PointLight.cpp:7-18). u: (N, >=2) uniforms. Returns (irradiance (N,3),
+    n_shadow () i32 — lanes issuing a real shadow query)."""
     n = p.shape[0]
     kind = pack.light_kind[lidx]
     lvec = pack.light_vec[lidx]
@@ -209,7 +229,9 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
     cand = mask & (is_point | is_direct)
     shadow_o = jnp.where(cand[:, None], p, _MISS_O)
     shadow_d = jnp.where(cand[:, None], shadow_d, _MISS_D)
-    t_max = jnp.where(is_point, 1.0, BIG)
+    # Non-candidates get t_max = 0: the t-bounded box pruning in the anyhit
+    # traversals then retires them at the root test.
+    t_max = jnp.where(cand, jnp.where(is_point, 1.0, BIG), 0.0)
     occ = trace_shadow(
         pack,
         shadow_o,
@@ -227,11 +249,12 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
     )
     irr_direct = intensity * vis[:, None]
     irr_ambient = intensity
-    return jnp.where(
+    irr = jnp.where(
         is_point[:, None],
         irr_point,
         jnp.where(is_direct[:, None], irr_direct, irr_ambient),
     )
+    return irr, jnp.sum(cand).astype(jnp.int32)
 
 
 def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, u, mask,
@@ -240,7 +263,8 @@ def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, u,
     lidx = _select_light(pack, u[:, 7])
     vl = _sample_in_light(pack, lidx, surf, mtl, new_spec_color, u)
     cos_theta = dot(vl, vn)
-    irrad = _illuminate(pack, cfg, lidx, surf.p, u[:, 5:7], mask & (cos_theta > 0))
+    irrad, n_shadow = _illuminate(pack, cfg, lidx, surf.p, u[:, 5:7],
+                                  mask & (cos_theta > 0))
     vh = normalize(vl + vv)
     diff = textured_color(
         pack, mtl.diffuse, mtl.diffuse_tm, surf.uvw, surf.duvw, taps=cfg.texture_sample_count
@@ -256,7 +280,8 @@ def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, u,
         # Caustic photon gather added to the direct term (MtlBlinn.cpp:329-342).
         from bhraytracer_tpu.models.photonmap import gather_irradiance
 
-        c_irr, c_vl = gather_irradiance(pmap, surf.p, vn)
+        c_irr, c_vl = gather_irradiance(pmap, surf.p, vn,
+                                        k=cfg.photon_gather_max)
         c_cos = -dot(c_vl, vn)
         c_hn = jnp.maximum(dot(normalize(c_vl + vv), vn), 0.0)
         c_brdf = diff + spec * (
@@ -267,7 +292,7 @@ def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, u,
     out = _clamp_white(out)
     # NaN in direct -> black (MtlBlinn.cpp:344-347).
     out = jnp.where(jnp.isnan(out[:, 0:1]), 0.0, out)
-    return out
+    return out, n_shadow
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +396,7 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
         out_o=surf.p,
         out_d=vt,
         it=jnp.zeros((), jnp.int32),
+        segs=jnp.zeros((), jnp.int32),
     )
 
     def cond(s):
@@ -439,12 +465,14 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
             out_o=new_out_o,
             out_d=new_out_d,
             it=s["it"] + 1,
+            segs=s["segs"] + jnp.sum(live).astype(jnp.int32),
         )
 
       return body
 
     body = make_body(mtl.ior, rgloss)
 
+    zero = jnp.zeros((), jnp.int32)
     if cfg.differentiable:
         # Fixed-trip scan: reverse-mode AD cannot cross while_loop. The body
         # is a fixpoint (settled lanes no-op), so extra trips are exact.
@@ -452,7 +480,8 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
             return jax.lax.cond(jnp.any(~s["settled"]), body, lambda x: x, s), None
 
         state, _ = jax.lax.scan(scan_body, state, None, length=cfg.tir_bounces + 1)
-        return state["case"], state["out_o"], state["out_d"], state["bounce"]
+        return (state["case"], state["out_o"], state["out_d"], state["bounce"],
+                zero, state["segs"])
 
     # Two-stage chain: most lanes settle within the first few trips (exit or
     # early TIR); the long TIR tail re-compacts the stragglers to a quarter
@@ -467,7 +496,7 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
     state = jax.lax.while_loop(cond_head, body, state)
 
     k2 = max(128, -(-n // 4) // 128 * 128)
-    if k2 < n:
+    if cfg.tir_tail_compaction and k2 < n:
         unsettled = ~state["settled"]
         order = jnp.argsort(state["settled"], stable=True)  # unsettled first
         sel = order[:k2]
@@ -476,6 +505,7 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
                ("p", "nrm", "d", "bounce", "case", "out_o", "out_d")}
         sub["settled"] = ~sel_valid
         sub["it"] = state["it"]
+        sub["segs"] = state["segs"]
         body2 = make_body(mtl.ior[sel], rgloss[sel])
         sub = jax.lax.while_loop(cond, body2, sub)
         for k_ in ("case", "bounce"):
@@ -486,10 +516,15 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
             state[k_] = state[k_].at[sel].set(
                 jnp.where(sel_valid[:, None], sub[k_], state[k_][sel])
             )
-        # unsettled lanes that didn't fit keep case NONE -> black.
+        # Unsettled lanes that didn't fit keep case NONE -> black: COUNTED.
+        dropped = (jnp.sum(unsettled) - jnp.sum(sel_valid)).astype(jnp.int32)
+        segs = sub["segs"]
     else:
         state = jax.lax.while_loop(cond, body, state)
-    return state["case"], state["out_o"], state["out_d"], state["bounce"]
+        dropped = zero
+        segs = state["segs"]
+    return (state["case"], state["out_o"], state["out_d"], state["bounce"],
+            dropped, segs)
 
 
 # ---------------------------------------------------------------------------
@@ -534,7 +569,7 @@ def _shade_level(
     u_tab = jax.random.uniform(jax.random.fold_in(key, 1), (n, 13))
 
     # --- direct light ---
-    direct = _direct_light(
+    direct, n_shadow = _direct_light(
         pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8], shade,
         pmap=pmap,
     )
@@ -555,10 +590,12 @@ def _shade_level(
 
     mtl_k = Mtl(*[g(f) for f in mtl])
     surf_k = Surface(*[g(f) for f in surf])
-    case, ro, rd, bounce_left = _refraction_chain(
+    case, ro, rd, bounce_left, drop_tir, chain_segs = _refraction_chain(
         pack, cfg, surf_k, mtl_k, g(vn), g(vv), g(cos_phi1), g(refr_eff),
         sel_valid, g(tasks.bounce), jax.random.fold_in(key, 2),
     )
+    drop_refr = (jnp.sum(chain_cand) - jnp.sum(sel_valid)).astype(jnp.int32)
+    segs = jnp.sum(tasks.active).astype(jnp.int32) + n_shadow + chain_segs
     refr_has_child = ((case == _CASE_FRONT) | (case == _CASE_OUT)) & sel_valid
     is_out = (case == _CASE_OUT)[:, None]
     refr_mult = jnp.where(is_out, g(refr_eff), 1.0)
@@ -595,6 +632,9 @@ def _shade_level(
         refr_absorb=refr_absorb,
         refr_env=refr_env,
         refr_add=refr_add,
+        drop_refr=drop_refr,
+        drop_tir=drop_tir,
+        segs=segs,
     )
 
     # --- children: [gi children (N)] ++ [compacted refr children (K)] ---
@@ -679,7 +719,8 @@ def _combine_level(
 
 def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y, pmap=None):
     """Radiance for camera rays (o, d) with per-pixel background uv
-    (Main.cpp:158-168). Returns (N,3) linear radiance."""
+    (Main.cpp:158-168). Returns (rad (N,3), z0 (N,), ChunkStats) — stats are
+    summed over the shade tree."""
     n = o.shape[0]
     tasks = Tasks(
         o=o,
@@ -708,7 +749,12 @@ def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y, pmap=N
     rad = jnp.where(recs[0].hit[:, None], child_rad, bg)
     # Aux buffers (RenderImage z-buffer etc., scene.h:532-536): primary z.
     z0 = jnp.where(recs[0].hit, recs[0].z, BIG)
-    return rad, z0
+    stats = ChunkStats(
+        drop_refr=sum(r.drop_refr for r in recs),
+        drop_tir=sum(r.drop_tir for r in recs),
+        segments=sum(r.segs for r in recs),
+    )
+    return rad, z0, stats
 
 
 # ---------------------------------------------------------------------------
@@ -727,10 +773,10 @@ def _render_chunk(pack, cfg: RenderConfig, cam: CameraParams, width, height, px,
         [px.astype(jnp.float32) / width, py.astype(jnp.float32) / height, jnp.zeros(n)],
         -1,
     )
-    rad, z0 = trace_radiance(
+    rad, z0, stats = trace_radiance(
         pack, cfg, o, d, bg_uv, jax.random.fold_in(key, 1), dd_x, dd_y, pmap=pmap
     )
-    return rad, z0
+    return rad, z0, stats
 
 
 _render_chunk_jit = jax.jit(
@@ -777,7 +823,7 @@ _stage_finish_jit = jax.jit(_stage_finish)
 def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
                         accum, zbuf, first: bool):
     """One chunk through per-level jitted stages; accumulates into device
-    buffers (accum, zbuf)."""
+    buffers (accum, zbuf). Returns (accum, zbuf, ChunkStats)."""
     o, d, bg, dd_x, dd_y = _stage_raygen_jit(pack, cfg, cam, width, height, px, py, key)
     n = o.shape[0]
     tasks = Tasks(
@@ -800,7 +846,13 @@ def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
     for level in reversed(range(cfg.max_levels)):
         rad = _combine_level_jit(cfg, level, recs[level], child_rad, child_z, child_hit)
         child_rad, child_z, child_hit = rad, recs[level].z, recs[level].hit
-    return _stage_finish_jit(recs[0].hit, child_rad, bg, recs[0].z, accum, zbuf, first)
+    stats = ChunkStats(
+        drop_refr=sum(r.drop_refr for r in recs),
+        drop_tir=sum(r.drop_tir for r in recs),
+        segments=sum(r.segs for r in recs),
+    )
+    acc, zb = _stage_finish_jit(recs[0].hit, child_rad, bg, recs[0].z, accum, zbuf, first)
+    return acc, zb, stats
 
 
 def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0,
@@ -826,6 +878,8 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     key = jax.random.PRNGKey(seed)
     accum = np.zeros((total, 3), np.float32)
     zbuffer = np.full((total,), BIG, np.float32)
+    total_drops = np.zeros((2,), np.int64)
+    total_segments = 0
     chunk = min(max(1, cfg.chunk_rays), total)
     n_chunks = -(-total // chunk)
     done = np.zeros((n_chunks,), bool)
@@ -850,14 +904,36 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
         idx = np.minimum(idx, total - 1)
         px = jnp.asarray(idx % width, jnp.int32)
         py = jnp.asarray(idx // width, jnp.int32)
-        acc_d = jnp.zeros((chunk, 3))
-        z_d = jnp.full((chunk,), BIG)
-        for s in range(spp):
-            ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
-            acc_d, z_d = render_chunk_staged(
-                pack, cfg, cam, width, height, px, py, ck, photon_map,
-                acc_d, z_d, s == 0,
+        def run_chunk(cfg_run):
+            # Stats accumulate on device; ONE host fetch per chunk keeps the
+            # spp loop asynchronously queued.
+            acc_d = jnp.zeros((chunk, 3))
+            z_d = jnp.full((chunk,), BIG)
+            st_acc = None
+            for s in range(spp):
+                ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
+                acc_d, z_d, st = render_chunk_staged(
+                    pack, cfg_run, cam, width, height, px, py, ck, photon_map,
+                    acc_d, z_d, s == 0,
+                )
+                st_acc = st if st_acc is None else jax.tree.map(
+                    jnp.add, st_acc, st)
+            return acc_d, z_d, np.asarray(
+                [int(st_acc.drop_refr), int(st_acc.drop_tir),
+                 int(st_acc.segments)], np.int64)
+
+        acc_d, z_d, st_host = run_chunk(cfg)
+        if st_host[:2].any() and cfg.adaptive_full_capacity:
+            # Lossless re-render of this chunk: full refraction capacity and
+            # no TIR-tail compaction (one extra compile set, paid only when a
+            # drop is detected).
+            cfg_full = dataclasses.replace(
+                cfg, refr_capacity=1.0, tir_tail_compaction=False,
+                adaptive_full_capacity=False,
             )
+            acc_d, z_d, st_host = run_chunk(cfg_full)
+        total_drops += st_host[:2]
+        total_segments += int(st_host[2])
         accum[start:stop] = np.asarray(acc_d, np.float32)[:count]
         zbuffer[start:stop] = np.asarray(z_d, np.float32)[:count]
         done[start // chunk] = True
@@ -878,7 +954,10 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
         img = np.asarray(denoise(model, dparams, jnp.asarray(img, jnp.float32)))
     if return_aux:
         return img, {"zbuffer": zbuffer.reshape(height, width),
-                     "sample_count": np.full((height, width), spp, np.int32)}
+                     "sample_count": np.full((height, width), spp, np.int32),
+                     "dropped_lanes": {"refr_overflow": int(total_drops[0]),
+                                       "tir_overflow": int(total_drops[1])},
+                     "traced_segments": total_segments}
     return img
 
 

@@ -310,9 +310,12 @@ def _anyhit_kernel(n_faces: int, bias: float,
     idz = 1.0 / jnp.where(pdz == 0.0, 1e-30, pdz)
     root = root_ref[0]
 
-    big = jnp.full(pox.shape, BIG)
+    # Prune box descent against the parametric shadow bound: boxes entered
+    # beyond a lane's t_max cannot occlude it (shadow rays toward point
+    # lights have t_max = 1, so this prunes hard). Occluded lanes drop out
+    # of the vote via `live` below.
     root_row = _row(nodes, root)
-    _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, big)
+    _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, tm)
     stack[0] = root
     sp0 = jnp.where(jnp.any(root_hit), 1, 0)
 
@@ -344,8 +347,8 @@ def _anyhit_kernel(n_faces: int, bias: float,
             o_, s = args
             row1 = _row(nodes, lft)
             row2 = _row(nodes, lft + 1)
-            _, h1 = _box_test(row1, 0, pox, poy, poz, idx, idy, idz, big)
-            _, h2 = _box_test(row2, 0, pox, poy, poz, idx, idy, idz, big)
+            _, h1 = _box_test(row1, 0, pox, poy, poz, idx, idy, idz, tm)
+            _, h2 = _box_test(row2, 0, pox, poy, poz, idx, idy, idz, tm)
             live = o_ < 1
             h1a = jnp.any(h1 & live)
             h2a = jnp.any(h2 & live)

@@ -5,9 +5,11 @@ Main.cpp:389-413) and per-type shadow dispatch (GenLight.cpp:15-69) with flat
 wavefront queries over the ScenePack:
 
   - analytic instances are intersected fully vectorized (rays x instances)
-  - triangle meshes use an iterative ordered-descent BVH traversal with a
-    per-ray short stack inside `lax.while_loop` — the TPU re-design of the
-    recursive TraceBVHNode/TraceBVHShadow (TriObj.cpp:192-307)
+  - ALL triangle-mesh instances share ONE unified world-space BVH (instance
+    transforms folded at scene compile) queried by an iterative
+    ordered-descent traversal with a per-ray short stack inside
+    `lax.while_loop` — the TPU re-design of the per-object recursive
+    TraceBVHNode/TraceBVHShadow (TriObj.cpp:192-307)
 
 Traversal is integer-valued and wrapped in stop_gradient; `resolve_hit`
 *recomputes* the surface interaction differentiably from the discrete hit ids
@@ -40,7 +42,10 @@ from bhraytracer_tpu.ops.linalg import (
 
 KIND_SPHERE, KIND_PLANE, KIND_MESH = 0, 1, 2
 LEAF_SIZE = 4  # matches bvh.SetMesh(this, 4) (objects.h:59)
-MESH_SHADOW_BIAS = 1e-4  # TriObj.cpp Bias (TriObj.cpp:9)
+# TriObj.cpp Bias (TriObj.cpp:9). The reference applies it in mesh-local t
+# units; with the world-space BVH it applies in world t units — identical
+# because the ray parameter is frame-invariant under the folded transforms.
+MESH_SHADOW_BIAS = 1e-4
 
 # Pallas kernel routing: "auto" = fused kernels on TPU, jnp elsewhere;
 # "on" forces them (interpreted off-TPU: tests), "off" disables.
@@ -91,20 +96,16 @@ def _to_local(itm, pos, o, d):
     return ol, dl
 
 
-def _one_local(itm, pos, o, d):
-    """(3,3),(3,) transform for a single instance over (N,3) rays."""
-    ol = jnp.einsum("ij,nj->ni", itm, o - pos)
-    dl = jnp.einsum("ij,nj->ni", itm, d)
-    return ol, dl
-
-
 # ---------------------------------------------------------------------------
 # BVH traversal (per mesh instance)
 # ---------------------------------------------------------------------------
 
 
 def bvh_closest(pack, root, o, d, hit_side: str, t_init):
-    """Closest triangle hit in one mesh's BVH. o, d: (N,3) LOCAL rays.
+    """Closest triangle hit in the unified world-space BVH. o, d: (N,3)
+    WORLD rays (instance transforms are folded into wtri_* at compile; the
+    ray parameter t is frame-invariant so results compare directly with
+    analytic-instance hits).
 
     Returns (t, face, front): t = t_init lanes that found nothing closer.
     """
@@ -138,12 +139,11 @@ def bvh_closest(pack, root, o, d, hit_side: str, t_init):
         # --- leaf: up to LEAF_SIZE contiguous faces ---
         for k in range(LEAF_SIZE):
             fidx = left + k
-            fidx = jnp.clip(fidx, 0, pack.face_v.shape[0] - 1)
+            fidx = jnp.clip(fidx, 0, pack.wtri_v0.shape[0] - 1)
             fval = is_leaf & (k < count)
-            vi = pack.face_v[fidx]
-            v0 = pack.verts[vi[:, 0]]
-            v1 = pack.verts[vi[:, 1]]
-            v2 = pack.verts[vi[:, 2]]
+            v0 = pack.wtri_v0[fidx]
+            v1 = pack.wtri_v1[fidx]
+            v2 = pack.wtri_v2[fidx]
             t, front = triangle_intersect(v0, v1, v2, o, d, hit_side)
             upd = fval & (t < best_t)
             best_t = jnp.where(upd, t, best_t)
@@ -195,7 +195,13 @@ def bvh_anyhit(pack, root, o, d, t_min: float, t_max):
     depth = pack.bvh_depth + 2
     arange = jnp.arange(n)
 
-    _, root_hit = box_intersect(pack.bvh_bmin[root], pack.bvh_bmax[root], o, d, BIG)
+    # Prune box descent against the parametric bound: a box whose entry t
+    # exceeds t_max cannot contain an occluder in (t_min, t_max). Shadow
+    # rays toward point lights have t_max = 1, so this prunes hard
+    # (TraceBVHShadow prunes the same way via its t-bounded box test,
+    # TriObj.cpp:272-307).
+    t_max = jnp.broadcast_to(t_max, (n,))
+    _, root_hit = box_intersect(pack.bvh_bmin[root], pack.bvh_bmax[root], o, d, t_max)
     stack0 = jnp.zeros((n, depth), jnp.int32).at[:, 0].set(root)
     sp0 = jnp.where(root_hit, 1, 0).astype(jnp.int32)
     occ0 = jnp.zeros((n,), bool)
@@ -217,13 +223,12 @@ def bvh_anyhit(pack, root, o, d, t_min: float, t_max):
         is_internal = active & (count == 0)
 
         for k in range(LEAF_SIZE):
-            fidx = jnp.clip(left + k, 0, pack.face_v.shape[0] - 1)
+            fidx = jnp.clip(left + k, 0, pack.wtri_v0.shape[0] - 1)
             fval = is_leaf & (k < count)
-            vi = pack.face_v[fidx]
             t, _ = triangle_intersect(
-                pack.verts[vi[:, 0]],
-                pack.verts[vi[:, 1]],
-                pack.verts[vi[:, 2]],
+                pack.wtri_v0[fidx],
+                pack.wtri_v1[fidx],
+                pack.wtri_v2[fidx],
                 o,
                 d,
                 "front",
@@ -231,8 +236,8 @@ def bvh_anyhit(pack, root, o, d, t_min: float, t_max):
             occ = occ | (fval & (t > t_min) & (t < t_max))
 
         c1, c2 = left, left + 1
-        _, h1 = box_intersect(pack.bvh_bmin[c1], pack.bvh_bmax[c1], o, d, BIG)
-        _, h2 = box_intersect(pack.bvh_bmin[c2], pack.bvh_bmax[c2], o, d, BIG)
+        _, h1 = box_intersect(pack.bvh_bmin[c1], pack.bvh_bmax[c1], o, d, t_max)
+        _, h2 = box_intersect(pack.bvh_bmin[c2], pack.bvh_bmax[c2], o, d, t_max)
         for child, h in ((c1, h1), (c2, h2)):
             push = is_internal & h
             stack = jnp.where(
@@ -305,23 +310,24 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
         best_inst = jnp.where(upd, k.astype(jnp.int32), best_inst)
         best_front = jnp.where(upd, fk, best_front)
 
-    use_pallas_bvh = False
-    if pack.n_msh and _pallas_enabled():
-        from bhraytracer_tpu.ops.pallas_bvh import bvh_closest_pallas, fits_vmem
+    if pack.n_msh:
+        # ONE query over the unified world-space BVH covers every mesh
+        # instance (no per-instance ray transform or sequential walk).
+        use_pallas_bvh = False
+        if _pallas_enabled():
+            from bhraytracer_tpu.ops.pallas_bvh import bvh_closest_pallas, fits_vmem
 
-        use_pallas_bvh = fits_vmem(pack)
-    for i in range(pack.n_msh):
-        ol, dl = _one_local(pack.msh_itm[i], pack.msh_pos[i], o, d)
+            use_pallas_bvh = fits_vmem(pack)
         if use_pallas_bvh:
-            t, face, front = bvh_closest_pallas(
-                pack, pack.msh_root[i], ol, dl, hit_side, t_init=best_t
-            )
+            t, face, front = bvh_closest_pallas(pack, 0, o, d, hit_side,
+                                                t_init=best_t)
         else:
-            t, face, front = bvh_closest(pack, pack.msh_root[i], ol, dl, hit_side, best_t)
+            t, face, front = bvh_closest(pack, 0, o, d, hit_side, best_t)
         upd = t < best_t
+        inst = pack.face_inst[jnp.clip(face, 0, pack.face_inst.shape[0] - 1)]
         best_t = jnp.where(upd, t, best_t)
         best_kind = jnp.where(upd, KIND_MESH, best_kind)
-        best_inst = jnp.where(upd, i, best_inst)
+        best_inst = jnp.where(upd, inst, best_inst)
         best_face = jnp.where(upd, face, best_face)
         best_front = jnp.where(upd, front, best_front)
 
@@ -387,18 +393,19 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
         hit = (dz != 0.0) & (t >= 0.0) & in_ext & (t > shadow_bias) & (t < t_max[:, None])
         occ |= jnp.any(hit, axis=1)
 
-    use_pallas_bvh = False
-    if pack.n_msh and _pallas_enabled():
-        from bhraytracer_tpu.ops.pallas_bvh import bvh_anyhit_pallas, fits_vmem
+    if pack.n_msh:
+        use_pallas_bvh = False
+        if _pallas_enabled():
+            from bhraytracer_tpu.ops.pallas_bvh import bvh_anyhit_pallas, fits_vmem
 
-        use_pallas_bvh = fits_vmem(pack)
-    for i in range(pack.n_msh):
-        ol, dl = _one_local(pack.msh_itm[i], pack.msh_pos[i], o, d)
+            use_pallas_bvh = fits_vmem(pack)
+        # Lanes already occluded by analytic geometry carry t_max = 0 so the
+        # t-bounded box pruning retires them at the root.
+        tm_live = jnp.where(occ, 0.0, t_max)
         if use_pallas_bvh:
-            occ |= bvh_anyhit_pallas(pack, pack.msh_root[i], ol, dl,
-                                     MESH_SHADOW_BIAS, t_max)
+            occ |= bvh_anyhit_pallas(pack, 0, o, d, MESH_SHADOW_BIAS, tm_live)
         else:
-            occ |= bvh_anyhit(pack, pack.msh_root[i], ol, dl, MESH_SHADOW_BIAS, t_max)
+            occ |= bvh_anyhit(pack, 0, o, d, MESH_SHADOW_BIAS, tm_live)
 
     return occ
 

@@ -54,7 +54,7 @@ def _render_sharded_impl(pack, cfg, cam, width, height, px, py, key, mesh):
     lane = _lane_sharding(mesh)
     px = jax.lax.with_sharding_constraint(px, lane)
     py = jax.lax.with_sharding_constraint(py, lane)
-    rad, _ = _render_chunk(pack, cfg, cam, width, height, px, py, key)
+    rad, _, _ = _render_chunk(pack, cfg, cam, width, height, px, py, key)
     return jax.lax.with_sharding_constraint(rad, lane)
 
 
@@ -121,7 +121,7 @@ def train_step_sharded(params, opt_state, pack, cfg, cam, width, height,
 
     def loss_fn(p):
         pk, cm = _apply_params(pack, cam, p)
-        rad, _ = _render_chunk(pk, cfg, cm, width, height, px, py, key)
+        rad, _, _ = _render_chunk(pk, cfg, cm, width, height, px, py, key)
         return jnp.mean((rad - target) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -95,52 +95,52 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
     sph_itm, sph_tm, sph_pos, sph_mtl = pack_analytic(sph)
     pln_itm, pln_tm, pln_pos, pln_mtl = pack_analytic(pln)
 
-    # ---------- meshes + BVH ----------
+    # ---------- meshes: shared vertex pools + one world-space BVH ----------
+    # Vertex/normal/uv pools are concatenated once per DISTINCT mesh; face
+    # tables are emitted once per INSTANCE with the instance's world-space
+    # triangles feeding a single unified BVH (see pack.py field docs).
     verts_l, normals_l, uvs_l = [], [], []
-    fv_l, fvn_l, fvt_l, fmtl_l = [], [], [], []
-    bmin_l, bmax_l, bleft_l, bcount_l = [], [], [], []
-    mesh_roots: List[int] = []  # per distinct mesh
-    bvh_depth = 1
-    v_off = n_off = t_off = f_off = b_off = 0
+    mesh_offsets = {}  # mesh idx -> (v_off, n_off, t_off)
+    v_off = n_off = t_off = 0
     for mesh_idx, mesh in enumerate(sd.meshes):
-        bvh = build_bvh(mesh.verts, mesh.faces, leaf_size=leaf_size)
-        bvh_depth = max(bvh_depth, bvh.depth)
-        order = bvh.face_order
+        mesh_offsets[mesh_idx] = (v_off, n_off, t_off)
         verts_l.append(mesh.verts)
         normals_l.append(mesh.normals)
         uvs_l.append(mesh.uvs)
-        fv_l.append(mesh.faces[order] + v_off)
-        fvn_l.append(mesh.face_normals[order] + n_off)
-        fvt_l.append(mesh.face_uvs[order] + t_off)
-        fmtl_l.append((mesh.face_mtl[order], mesh_idx))
-        bmin_l.append(bvh.bmin)
-        bmax_l.append(bvh.bmax)
-        left = bvh.left.copy()
-        left[bvh.count > 0] += f_off
-        left[bvh.count == 0] += b_off
-        bleft_l.append(left)
-        bcount_l.append(bvh.count)
-        mesh_roots.append(b_off)
         v_off += mesh.verts.shape[0]
         n_off += mesh.normals.shape[0]
         t_off += mesh.uvs.shape[0]
-        f_off += mesh.faces.shape[0]
-        b_off += bvh.bmin.shape[0]
 
-    # Resolve per-face global material ids: the auto multi-material names are
-    # "<node name>#<slot>" where node name is the OBJ path (xmlload.cpp:243).
-    mesh_name_by_idx = {}
-    for node in sd.nodes:
-        if node.kind == "mesh" and node.mesh >= 0:
-            mesh_name_by_idx.setdefault(node.mesh, node.name)
-    fmtl_res = []
-    for slots, mesh_idx in fmtl_l:
-        name = mesh_name_by_idx.get(mesh_idx, "")
+    fv_l, fvn_l, fvt_l, fmtl_l, finst_l = [], [], [], [], []
+    w0_l, w1_l, w2_l = [], [], []
+    for inst_i, r in enumerate(msh):
+        _itm, tm, pos, _, mesh_idx, name, _node_mtl = r
+        mesh = sd.meshes[mesh_idx]
+        vo, no, to = mesh_offsets[mesh_idx]
+        fv_l.append(mesh.faces + vo)
+        fvn_l.append(mesh.face_normals + no)
+        fvt_l.append(mesh.face_uvs + to)
+        finst_l.append(np.full(mesh.faces.shape[0], inst_i, i32))
+        # Per-face global material ids for this instance: auto multi-material
+        # names are "<node name>#<slot>" with the OBJ path as node name
+        # (xmlload.cpp:243).
+        slots = mesh.face_mtl
         out = np.zeros(slots.shape[0], i32)
         for slot in np.unique(slots):
             gid = mtl_index(f"{name}#{slot}") if slot >= 0 else -1
             out[slots == slot] = max(gid, 0)
-        fmtl_res.append(out)
+        fmtl_l.append(out)
+        # World-space triangles (transform folded: p_w = tm p + pos).
+        wv = mesh.verts @ tm.T + pos
+        tri = wv[mesh.faces]  # (F,3,3)
+        if np.linalg.det(tm) < 0:
+            # Mirror transforms flip winding; swap two vertices so the
+            # world-space front/back classification matches the reference's
+            # local-space test (IntersectTriangle side semantics).
+            tri = tri[:, [0, 2, 1], :]
+        w0_l.append(tri[:, 0])
+        w1_l.append(tri[:, 1])
+        w2_l.append(tri[:, 2])
 
     def cat(lst, empty_shape, dtype):
         if lst:
@@ -153,12 +153,38 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
     face_v = cat(fv_l, (1, 3), i32)
     face_vn = cat(fvn_l, (1, 3), i32)
     face_vt = cat(fvt_l, (1, 3), i32)
-    face_mtl = cat(fmtl_res, (1,), i32)
-    bvh_bmin = cat(bmin_l, (1, 3), f32)
-    bvh_bmax = cat(bmax_l, (1, 3), f32)
-    bvh_left = cat(bleft_l, (1,), i32)
-    bvh_count = cat(bcount_l, (1,), i32)
-    if not bcount_l:
+    face_mtl = cat(fmtl_l, (1,), i32)
+    face_inst = cat(finst_l, (1,), i32)
+    wtri_v0 = cat(w0_l, (1, 3), f32)
+    wtri_v1 = cat(w1_l, (1, 3), f32)
+    wtri_v2 = cat(w2_l, (1, 3), f32)
+
+    if msh:
+        # One BVH over the world-space triangle soup of every instance.
+        nf_all = face_v.shape[0]
+        soup_verts = np.concatenate(
+            [wtri_v0, wtri_v1, wtri_v2], axis=1).reshape(-1, 3)
+        soup_faces = np.arange(3 * nf_all, dtype=i32).reshape(-1, 3)
+        bvh = build_bvh(soup_verts, soup_faces, leaf_size=leaf_size)
+        bvh_depth = bvh.depth
+        order = bvh.face_order
+        face_v = face_v[order]
+        face_vn = face_vn[order]
+        face_vt = face_vt[order]
+        face_mtl = face_mtl[order]
+        face_inst = face_inst[order]
+        wtri_v0 = wtri_v0[order]
+        wtri_v1 = wtri_v1[order]
+        wtri_v2 = wtri_v2[order]
+        bvh_bmin = bvh.bmin.astype(f32)
+        bvh_bmax = bvh.bmax.astype(f32)
+        bvh_left = bvh.left.astype(i32)
+        bvh_count = bvh.count.astype(i32)
+    else:
+        bvh_depth = 1
+        bvh_bmin = np.zeros((1, 3), f32)
+        bvh_bmax = np.zeros((1, 3), f32)
+        bvh_left = np.zeros((1,), i32)
         bvh_count = np.ones((1,), i32)  # degenerate leaf w/ 1 dummy face
 
     nb = bvh_bmin.shape[0]
@@ -169,9 +195,9 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
     pallas_nodes[:, 7] = bvh_count.astype(f32)
     nf_all = face_v.shape[0]
     pallas_faces = np.zeros((nf_all, 16), f32)
-    pallas_faces[:, 0:3] = verts[face_v[:, 0]]
-    pallas_faces[:, 3:6] = verts[face_v[:, 1]]
-    pallas_faces[:, 6:9] = verts[face_v[:, 2]]
+    pallas_faces[:, 0:3] = wtri_v0
+    pallas_faces[:, 3:6] = wtri_v1
+    pallas_faces[:, 6:9] = wtri_v2
 
     if msh:
         msh_itm = np.stack([r[0] for r in msh])
@@ -179,13 +205,11 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
         msh_pos = np.stack([r[2] for r in msh])
         # -1 instance material = use per-face table.
         msh_mtl = np.array([r[6] for r in msh], i32)
-        msh_root = np.array([mesh_roots[r[4]] for r in msh], i32)
     else:
         msh_itm = np.eye(3, dtype=f32)[None]
         msh_tm = np.eye(3, dtype=f32)[None]
         msh_pos = np.zeros((1, 3), f32)
         msh_mtl = np.zeros((1,), i32)
-        msh_root = np.zeros((1,), i32)
 
     # ---------- texture maps + atlas ----------
     texmaps = sd.texmaps or []
@@ -238,11 +262,13 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
         sph_itm=sph_itm, sph_tm=sph_tm, sph_pos=sph_pos, sph_mtl=sph_mtl,
         pln_itm=pln_itm, pln_tm=pln_tm, pln_pos=pln_pos, pln_mtl=pln_mtl,
         msh_itm=msh_itm, msh_tm=msh_tm, msh_pos=msh_pos, msh_mtl=msh_mtl,
-        msh_root=msh_root,
         verts=verts, normals=normals, uvs=uvs,
         face_v=face_v, face_vn=face_vn, face_vt=face_vt, face_mtl=face_mtl,
+        face_inst=face_inst,
         bvh_bmin=bvh_bmin, bvh_bmax=bvh_bmax, bvh_left=bvh_left,
-        bvh_count=bvh_count, pallas_nodes=pallas_nodes, pallas_faces=pallas_faces,
+        bvh_count=bvh_count,
+        wtri_v0=wtri_v0, wtri_v1=wtri_v1, wtri_v2=wtri_v2,
+        pallas_nodes=pallas_nodes, pallas_faces=pallas_faces,
         **{k: v for k, v in mtl.items()},
         tm_tex=tm_tex, tm_itm=tm_itm, tm_pos=tm_pos,
         tex_kind=tex_kind, tex_c1=tex_c1, tex_c2=tex_c2, tex_wh=tex_wh,

@@ -40,25 +40,40 @@ class ScenePack:
     msh_tm: Array
     msh_pos: Array
     msh_mtl: Array  # (Mi,) i32 instance-wide material (-1 = per-face table)
-    msh_root: Array  # (Mi,) i32 BVH root node (global index)
 
-    # ---- concatenated mesh geometry (faces in BVH leaf order) ----
-    verts: Array  # (V,3) f32 — differentiable vertex positions
+    # ---- per-instance mesh geometry (faces in world-BVH leaf order) ----
+    # Face tables are flattened PER INSTANCE (an OBJ used by two nodes
+    # contributes its faces twice); vertex/normal/uv pools are shared per
+    # distinct mesh, so duplicate instances only duplicate the (F,3) index
+    # rows. Together with the unified world BVH below this replaces the
+    # reference's per-instance scene-graph recursion (`recursive`,
+    # Main.cpp:389-413) with one flat world-space geometry set.
+    verts: Array  # (V,3) f32 — LOCAL-frame positions (differentiable)
     normals: Array  # (VN,3)
     uvs: Array  # (VT,3)
     face_v: Array  # (F,3) i32 global vertex ids
     face_vn: Array  # (F,3)
     face_vt: Array  # (F,3)
     face_mtl: Array  # (F,) i32 global material id
+    face_inst: Array  # (F,) i32 mesh-instance id (indexes msh_*)
 
-    # ---- concatenated BVH nodes ----
+    # ---- unified world-space BVH over all mesh instances ----
+    # ONE tree over every instance's world-space triangles (transforms folded
+    # at compile): traversal needs no per-instance ray transform and culls
+    # across instances, unlike the reference's sequential per-object BVH walk
+    # (TriObj.cpp:192-307 under Node::ToNodeCoords).
     bvh_bmin: Array  # (B,3)
     bvh_bmax: Array  # (B,3)
     bvh_left: Array  # (B,) i32 left child (global) / leaf face start (global)
     bvh_count: Array  # (B,) i32 leaf face count (0 = internal)
+    # World-space triangle vertices in face order (XLA leaf tests read these
+    # directly — no per-leaf vertex-index indirection).
+    wtri_v0: Array  # (F,3) f32
+    wtri_v1: Array  # (F,3) f32
+    wtri_v2: Array  # (F,3) f32
     # Row-table mirrors for the Pallas packet kernel (dynamic pl.ds row
     # loads; Mosaic cannot scalar-gather 1-D VMEM): node row =
-    # [bmin, bmax, left, count, pad...]; face row = [v0, v1, v2, pad...].
+    # [bmin, bmax, left, count, pad...]; face row = [world v0, v1, v2, pad].
     pallas_nodes: Array  # (B,16) f32
     pallas_faces: Array  # (F,16) f32
 

@@ -58,7 +58,7 @@ def main():
     key = jax.random.PRNGKey(11)
 
     # Ground truth + target lanes.
-    target, _ = _render_chunk(pack, cfg, cam_p, cam.width, cam.height, px, py, key)
+    target, _, _ = _render_chunk(pack, cfg, cam_p, cam.width, cam.height, px, py, key)
     true_diffuse = np.asarray(pack.mtl_diffuse).copy()
 
     # Perturb: wrong material colors. Optimize ONLY the diffuse table (the
@@ -79,7 +79,7 @@ def main():
         def loss_fn(dv):
             p = dict(full_params, mtl_diffuse=dv)
             pk, cm = _apply_params(pack, cam_p, p)
-            rad, _ = _render_chunk(pk, cfg, cm, cam.width, cam.height, px, py, key)
+            rad, _, _ = _render_chunk(pk, cfg, cm, cam.width, cam.height, px, py, key)
             return jnp.mean((rad - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(diffuse)

@@ -6,6 +6,15 @@ real-TPU paths are exercised by bench.py / the driver instead.
 """
 
 import os
+import resource
+
+# XLA:CPU's compiler recurses deeply on this project's big fused programs;
+# with the default 8MB stack the 25th-ish compile of a suite run overflows
+# and segfaults the process. The hard limit is unlimited here, so grow the
+# main thread's stack (Linux main-thread stacks extend up to the soft rlimit).
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _hard == resource.RLIM_INFINITY or _hard >= 1 << 30:
+    resource.setrlimit(resource.RLIMIT_STACK, (1 << 30, _hard))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

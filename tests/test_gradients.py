@@ -88,7 +88,7 @@ def _loss_fn(setup_t, param_name):
         else:
             pk = dataclasses.replace(pack, **{param_name: val})
             cp = cam_p
-        rad, _ = _render_chunk(pk, cfg, cp, cam.width, cam.height, px, py, key)
+        rad, _, _ = _render_chunk(pk, cfg, cp, cam.width, cam.height, px, py, key)
         return jnp.mean(rad)
 
     return loss

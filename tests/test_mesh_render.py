@@ -93,7 +93,10 @@ def test_mesh_shadow_on_ground(teapot_assets):
     # (front-face entry): points whose segments graze the silhouette or pass
     # under the base are not occluded (front-only mesh shadows + the
     # grazing-angle cull, both reference semantics).
-    p_shadow = np.array([-5.0, 5.0, 0.0])
+    # NB: (-5, 5, 0) puts the segment in the teapot's x=-y symmetry plane,
+    # where it crosses EXACTLY on a triangle seam (barycentric area == 0 at
+    # f64) — the f32 sign is rounding noise there, so nudge off-plane.
+    p_shadow = np.array([-5.0, 4.7, 0.0])
     p_lit = np.array([8.0, -8.0, 0.0])
     o = jnp.asarray(np.stack([p_shadow, p_lit]), jnp.float32)
     d = jnp.asarray(np.stack([light - p_shadow, light - p_lit]), jnp.float32)

@@ -108,8 +108,8 @@ def _render_lanes(pack, cam, cfg, seed=0):
     o, d = gen_rays(cam_p, width, height, px, py, u)
     _, dd_x, dd_y = camera_basis(cam_p, width, height)
     bg_uv = jnp.stack([px / width, py / height, jnp.zeros(n)], -1)
-    rad, z0 = trace_radiance(pack, cfg, o, d, bg_uv, jax.random.fold_in(key, 1),
-                             dd_x, dd_y)
+    rad, z0, _drops = trace_radiance(pack, cfg, o, d, bg_uv,
+                                     jax.random.fold_in(key, 1), dd_x, dd_y)
 
     orc = Oracle(pack, cfg, jax.random.fold_in(key, 1))
     o_np, d_np = oracle_camera_rays(cam, width, height, idx % width,

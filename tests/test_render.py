@@ -89,7 +89,7 @@ def test_render_chunk_under_128_lanes(simple_scene):
     idx = np.linspace(0, cam.width * cam.height - 1, n).astype(np.int64)
     px = jnp.asarray(idx % cam.width, np.int32)
     py = jnp.asarray(idx // cam.width, np.int32)
-    rad, _ = _render_chunk(pack, cfg, from_scene_camera(cam), cam.width,
+    rad, _, _ = _render_chunk(pack, cfg, from_scene_camera(cam), cam.width,
                            cam.height, px, py, jax.random.PRNGKey(0))
     assert rad.shape == (n, 3)
     assert np.isfinite(np.asarray(rad)).all()

@@ -123,7 +123,8 @@ def test_point_light_inverse_square():
     p = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 2.0]])  # r = 3, 2
     u = jnp.full((2, 2), 0.5)
     lidx = jnp.zeros(2, jnp.int32)
-    irr = np.asarray(_illuminate(pack, cfg, lidx, p, u, jnp.ones(2, bool)))
+    irr, _n_shadow = _illuminate(pack, cfg, lidx, p, u, jnp.ones(2, bool))
+    irr = np.asarray(irr)
     np.testing.assert_allclose(irr[0], 12.0 / 9.0, rtol=1e-5)
     np.testing.assert_allclose(irr[1], 12.0 / 4.0, rtol=1e-5)
 

@@ -46,7 +46,7 @@ def test_sharded_render_matches_single(scene):
     rad_sharded = render_radiance_sharded(
         pack, cfg, cam_p, cam.width, cam.height, px, py, key, mesh
     )
-    rad_single, _ = _render_chunk(pack, cfg, cam_p, cam.width, cam.height, px, py, key)
+    rad_single, _, _ = _render_chunk(pack, cfg, cam_p, cam.width, cam.height, px, py, key)
     np.testing.assert_allclose(
         np.asarray(rad_sharded), np.asarray(rad_single), rtol=2e-4, atol=2e-5
     )
@@ -65,7 +65,7 @@ def test_train_step_reduces_loss(scene):
     py = jnp.asarray(idx // cam.width, jnp.int32)
     key = jax.random.PRNGKey(4)
 
-    target, _ = _render_chunk(pack, cfg, cam_p, cam.width, cam.height, px, py, key)
+    target, _, _ = _render_chunk(pack, cfg, cam_p, cam.width, cam.height, px, py, key)
     target = target * 0.5  # pretend the scene should be half as bright
 
     params = trainable_params(pack, cam_p)

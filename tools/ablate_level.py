@@ -71,11 +71,11 @@ def main():
     print(f"device={jax.devices()[0].platform} scene={args.scene} level={lvl} "
           f"lanes={n_lvl} active={int(jnp.sum(tasks.active))}", flush=True)
 
-    orig_chain = PT._refraction_chain
+    orig = {n: getattr(PT, n) for n in
+            ("_refraction_chain", "_direct_light", "_gi_sample",
+             "_select_light", "_sample_in_light", "_illuminate")}
     orig_shadow = TR.trace_shadow
-    orig_closest = TR.trace_closest
-    orig_direct = PT._direct_light
-    orig_gi = PT._gi_sample
+    orig_shadow_pt = PT.trace_shadow  # pathtracer binds its own reference
 
     def timeit(fn, iters=30):
         out = fn(tasks, lkey)
@@ -91,17 +91,27 @@ def main():
 
     def stub_chain(pack_, cfg_, surf, mtl, vn, vv, cos1, refr_eff, active, bounce, key_):
         k = surf.p.shape[0]
-        return (jnp.zeros((k,), jnp.int32), surf.p, vv, bounce)
+        return (jnp.zeros((k,), jnp.int32), surf.p, vv, bounce,
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
 
     def stub_shadow(pack_, o_, d_, t_max, bias, plane_extent_bug=False):
         return jnp.zeros((o_.shape[0],), bool)
 
     def stub_direct(pack_, cfg_, surf, mtl, nsc, vn, vv, u, mask, pmap=None):
-        return jnp.zeros((surf.p.shape[0], 3))
+        return jnp.zeros((surf.p.shape[0], 3)), jnp.zeros((), jnp.int32)
 
     def stub_gi(pack_, cfg_, surf, mtl, nsc, vn, vv, u):
         k = surf.p.shape[0]
         return surf.p, vn, jnp.zeros((k, 3)), jnp.zeros((k, 3))
+
+    def stub_select(pack_, u):
+        return jnp.zeros((u.shape[0],), jnp.int32)
+
+    def stub_sample_in_light(pack_, lidx, surf, mtl, nsc, u):
+        return jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), surf.p.shape)
+
+    def stub_illuminate(pack_, cfg_, lidx, p, u, mask):
+        return jnp.ones_like(p), jnp.zeros((), jnp.int32)
 
     variants = [
         ("full", {}),
@@ -112,14 +122,17 @@ def main():
         ("no direct+gi+chain", {"_refraction_chain": stub_chain,
                                 "_direct_light": stub_direct,
                                 "_gi_sample": stub_gi}),
+        ("no select_light", {"_select_light": stub_select}),
+        ("no sample_in_light", {"_sample_in_light": stub_sample_in_light}),
+        ("no illuminate", {"_illuminate": stub_illuminate}),
     ]
 
     base = None
     for name, patches in variants:
-        PT._refraction_chain = patches.get("_refraction_chain", orig_chain)
-        PT._direct_light = patches.get("_direct_light", orig_direct)
-        PT._gi_sample = patches.get("_gi_sample", orig_gi)
+        for n, fn_orig in orig.items():
+            setattr(PT, n, patches.get(n, fn_orig))
         TR.trace_shadow = patches.get("trace_shadow", orig_shadow)
+        PT.trace_shadow = patches.get("trace_shadow", orig_shadow_pt)
         fn = jax.jit(
             lambda t, k: PT._shade_level(pack, cfg, t, lvl, k, dd_x, dd_y, None),
             static_argnums=(),
@@ -131,10 +144,10 @@ def main():
               flush=True)
 
     # restore
-    PT._refraction_chain = orig_chain
-    PT._direct_light = orig_direct
-    PT._gi_sample = orig_gi
+    for n, fn_orig in orig.items():
+        setattr(PT, n, fn_orig)
     TR.trace_shadow = orig_shadow
+    PT.trace_shadow = orig_shadow_pt
 
     # isolated trace_closest for reference, same process
     tc = jax.jit(lambda o_, d_: TR.trace_closest(pack, o_, d_, "front"))
