@@ -19,12 +19,16 @@ Reference behavior being rebuilt (not ported):
   - Powers scaled by 1/numStored after the build (Main.cpp:289).
 
 The kd-tree kNN gather (cyPhotonMap.h:421-498) is replaced by a uniform-grid
-fixed-radius gather — heap-based kNN is hostile to TPU; the estimator
-matches the reference's constant-filter density estimate
-irrad = sum(power) / (pi r^2) with front-hemisphere photon rejection.
-Deviation: the reference shrinks r to the k-th-nearest distance once more
-than `photon_gather_max` photons are in range; we keep a fixed radius (and a
-per-cell cap), which only differs in ultra-dense regions.
+gather — a heap-based kNN search is hostile to TPU. The estimator matches
+the reference's constant-filter density estimate with the SAME k-nearest
+radius shrink (cyPhotonMap.h:443-494: once `photon_gather_max` photons are
+in range, the gather radius shrinks to the k-th-nearest distance and
+irrad = sum(k nearest powers) / (pi r_k^2)). The k-th distance is found by
+iterative histogram refinement over dist^2 (16 bins per pass) instead of a
+heap: with 2 refinement passes the threshold is exact to r^2/4096, verified
+against a brute-force numpy kNN in tests/test_photonmap.py. The per-cell
+scan bound is the TRUE max bucket occupancy computed at build time —
+nothing is silently dropped.
 """
 
 from __future__ import annotations
@@ -275,8 +279,13 @@ def build_photon_map(
     return build_grid_index(pos, dirn, power, cfg.photon_gather_radius)
 
 
-def build_grid_index(pos, dirn, power, radius: float, cell_cap: int = 64) -> PhotonMapPack:
-    """Sort photons by hashed grid cell; bucket offsets via bincount."""
+def build_grid_index(pos, dirn, power, radius: float,
+                     cell_cap: int | None = None) -> PhotonMapPack:
+    """Sort photons by hashed grid cell; bucket offsets via bincount.
+
+    cell_cap defaults to the TRUE max bucket occupancy so the gather scans
+    every photon (no silent drop); pass a smaller value only to bound cost
+    deliberately (tests)."""
     p = np.asarray(pos, np.float32)
     n = p.shape[0]
     n_buckets = 1 << max(10, int(np.ceil(np.log2(max(n, 2) * 2))))
@@ -284,6 +293,8 @@ def build_grid_index(pos, dirn, power, radius: float, cell_cap: int = 64) -> Pho
     h = _hash_cells(cells, n_buckets)
     order = np.argsort(h, kind="stable")
     counts = np.bincount(h, minlength=n_buckets)
+    if cell_cap is None:
+        cell_cap = max(1, int(counts.max()))
     start = np.zeros(n_buckets + 1, np.int64)
     np.cumsum(counts, out=start[1:])
     return PhotonMapPack(
@@ -298,21 +309,14 @@ def build_grid_index(pos, dirn, power, radius: float, cell_cap: int = 64) -> Pho
     )
 
 
-def gather_irradiance(pmap: PhotonMapPack, pos, normal):
-    """Constant-filter photon density estimate at (N,3) query points.
+def _fold_photons(pmap: PhotonMapPack, pos, normal, fn, carry):
+    """Fold fn over every photon in the 27 neighbor cells of each query.
 
-    irrad = sum(power) / (pi r^2) over photons with |x - pos| < r whose
-    direction satisfies dir . normal < 0 (front hemisphere;
-    cyPhotonMap.h:452-459); direction out = normalize(sum dir * maxpower)
-    (cyPhotonMap.h:441-446).
-    """
-    n = pos.shape[0]
-    r = pmap.radius
-    r2 = r * r
-    base = jnp.floor(pos / r).astype(jnp.int32)
-
-    irrad = jnp.zeros((n, 3))
-    dsum = jnp.zeros((n, 3))
+    fn(carry, accept (N,) bool, dist2 (N,), pw (N,3), pd (N,3)) -> carry.
+    `accept` already applies the in-range test (dist2 < radius^2) and the
+    front-hemisphere rejection dir . normal < 0 (cyPhotonMap.h:448-450)."""
+    r2 = pmap.radius * pmap.radius
+    base = jnp.floor(pos / pmap.radius).astype(jnp.int32)
 
     def bucket_of(cell):
         c = cell.astype(jnp.int32)
@@ -332,7 +336,6 @@ def gather_irradiance(pmap: PhotonMapPack, pos, normal):
                 e = pmap.bucket_start[b + 1]
 
                 def body(k, carry):
-                    irr, ds = carry
                     idx = jnp.clip(s + k, 0, pmap.pos.shape[0] - 1)
                     ok = (s + k) < e
                     pp = pmap.pos[idx]
@@ -342,16 +345,122 @@ def gather_irradiance(pmap: PhotonMapPack, pos, normal):
                     # Exact cell match: hash collisions between neighbor
                     # cells would otherwise double-count a bucket.
                     same_cell = jnp.all(pmap.cell[idx] == cell, axis=-1)
-                    accept = ok & same_cell & (dist2 < r2) & (jnp.sum(pd * normal, -1) < 0)
+                    accept = (
+                        ok & same_cell & (dist2 < r2)
+                        & (jnp.sum(pd * normal, -1) < 0)
+                    )
                     pw = pmap.power[idx]
-                    irr = irr + jnp.where(accept[:, None], pw, 0.0)
-                    maxp = jnp.max(pw, axis=-1, keepdims=True)
-                    ds = ds + jnp.where(accept[:, None], pd * maxp, 0.0)
-                    return irr, ds
+                    return fn(carry, accept, dist2, pw, pd)
 
-                irrad, dsum = jax.lax.fori_loop(
-                    0, pmap.cell_cap, body, (irrad, dsum)
-                )
+                carry = jax.lax.fori_loop(0, pmap.cell_cap, body, carry)
+    return carry
 
-    irrad = irrad / (jnp.pi * r2)
-    return irrad, normalize(dsum)
+
+_HIST_BINS = 16
+
+
+def gather_irradiance(pmap: PhotonMapPack, pos, normal, k: int | None = None,
+                      refine_passes: int = 2):
+    """Constant-filter kNN photon density estimate at (N,3) query points.
+
+    Reference semantics (cyPhotonMap.h:333-379, 421-498 via
+    MtlBlinn.cpp:334): gather the k = `photon_gather_max` nearest in-range
+    front-hemisphere photons; when more than k are in range the radius
+    shrinks to the k-th-nearest distance r_k, and
+    irrad = sum(k nearest powers) / (pi r_k^2); direction out =
+    normalize(sum dir * maxpower) over the same set (cyPhotonMap.h:441-446,
+    363-365). k=None disables the shrink (pure fixed-radius estimate).
+
+    TPU re-design: instead of a per-query heap, the k-th distance^2 is
+    located by 1 + refine_passes histogram sweeps (16 bins each) over the
+    grid neighborhood, then one final accumulation sweep below the found
+    threshold — every sweep is the same fully-vectorized 27-cell scan.
+    Resolution of the threshold: r^2 / 16^(1+refine_passes).
+    """
+    n = pos.shape[0]
+    r2 = pmap.radius * pmap.radius
+
+    def sweep_a(carry, accept, dist2, pw, pd):
+        irr, ds, cnt, hist = carry
+        am = accept[:, None]
+        irr = irr + jnp.where(am, pw, 0.0)
+        maxp = jnp.max(pw, axis=-1, keepdims=True)
+        ds = ds + jnp.where(am, pd * maxp, 0.0)
+        cnt = cnt + accept.astype(jnp.int32)
+        b = jnp.clip((dist2 * (_HIST_BINS / r2)).astype(jnp.int32), 0,
+                     _HIST_BINS - 1)
+        hist = hist + jnp.where(
+            am, jax.nn.one_hot(b, _HIST_BINS, dtype=jnp.int32), 0
+        )
+        return irr, ds, cnt, hist
+
+    irr_full, ds_full, cnt, hist = _fold_photons(
+        pmap, pos, normal, sweep_a,
+        (jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros((n,), jnp.int32),
+         jnp.zeros((n, _HIST_BINS), jnp.int32)),
+    )
+
+    if k is None:
+        return irr_full / (jnp.pi * r2), normalize(ds_full)
+
+    def pick_bin(hist, below, lo, hi):
+        """Per-lane bin whose cumulative count first reaches k; returns the
+        refined (below, lo, hi) bracket around the k-th distance^2."""
+        cum = below[:, None] + jnp.cumsum(hist, axis=1)
+        ge = cum >= k
+        b = jnp.argmax(ge, axis=1).astype(jnp.int32)  # first True
+        width = (hi - lo) / _HIST_BINS
+        new_lo = lo + b.astype(jnp.float32) * width
+        new_hi = new_lo + width
+        prev = jnp.where(b > 0,
+                         jnp.take_along_axis(
+                             cum, jnp.maximum(b - 1, 0)[:, None], axis=1
+                         )[:, 0],
+                         below)
+        return prev, new_lo, new_hi
+
+    below = jnp.zeros((n,), jnp.int32)
+    lo = jnp.zeros((n,))
+    hi = jnp.full((n,), r2)
+    below, lo, hi = pick_bin(hist, below, lo, hi)
+
+    for _ in range(refine_passes):
+        def sweep_h(carry, accept, dist2, pw, pd, lo=lo, hi=hi):
+            (h,) = carry
+            inb = accept & (dist2 >= lo) & (dist2 < hi)
+            b = jnp.clip(
+                ((dist2 - lo) * (_HIST_BINS / jnp.maximum(hi - lo, 1e-30))
+                 ).astype(jnp.int32),
+                0, _HIST_BINS - 1)
+            h = h + jnp.where(
+                inb[:, None], jax.nn.one_hot(b, _HIST_BINS, dtype=jnp.int32), 0
+            )
+            return (h,)
+
+        (hist,) = _fold_photons(
+            pmap, pos, normal, sweep_h,
+            (jnp.zeros((n, _HIST_BINS), jnp.int32),),
+        )
+        below, lo, hi = pick_bin(hist, below, lo, hi)
+
+    # Threshold: upper edge of the bracket containing the k-th distance^2
+    # (lanes with <= k photons in range keep the full radius).
+    need = cnt > k
+    t = jnp.where(need, hi, r2)
+
+    def sweep_f(carry, accept, dist2, pw, pd):
+        irr, ds = carry
+        am = (accept & (dist2 <= t))[:, None]
+        irr = irr + jnp.where(am, pw, 0.0)
+        maxp = jnp.max(pw, axis=-1, keepdims=True)
+        ds = ds + jnp.where(am, pd * maxp, 0.0)
+        return irr, ds
+
+    irr_k, ds_k = _fold_photons(
+        pmap, pos, normal, sweep_f, (jnp.zeros((n, 3)), jnp.zeros((n, 3)))
+    )
+
+    irr = jnp.where(need[:, None], irr_k / (jnp.pi * t[:, None]),
+                    irr_full / (jnp.pi * r2))
+    ds = jnp.where(need[:, None], ds_k, ds_full)
+    return irr, normalize(ds)

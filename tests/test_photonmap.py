@@ -61,6 +61,57 @@ def test_grid_gather_matches_bruteforce(rng):
         np.testing.assert_allclose(irr[i], expect, rtol=1e-4, atol=1e-6)
 
 
+def test_knn_radius_shrink_matches_bruteforce(rng):
+    """kNN parity (cyPhotonMap.h:443-494): in a dense cluster the gather
+    radius shrinks to the k-th-nearest distance and the estimate uses only
+    the k nearest photons. Compare against a brute-force numpy kNN."""
+    k = 100
+    n = 5000
+    # Dense Gaussian cluster: far more than k photons inside the radius.
+    pos = rng.normal(0, 0.15, size=(n, 3)).astype(np.float32)
+    dirn = np.tile(np.array([[0, 0, -1]], np.float32), (n, 1))
+    power = rng.uniform(0, 1, size=(n, 3)).astype(np.float32) / n
+    radius = 0.5
+    pmap = build_grid_index(pos, dirn, power, radius)
+
+    q = np.array([[0.0, 0.0, 0.0], [0.05, -0.02, 0.01],
+                  [2.0, 2.0, 2.0]], np.float32)  # last: sparse (no shrink)
+    nrm = np.tile(np.array([[0, 0, 1]], np.float32), (q.shape[0], 1))
+    irr, _ = jax.jit(lambda p, qq, nn: gather_irradiance(p, qq, nn, k=k))(
+        pmap, jnp.asarray(q), jnp.asarray(nrm))
+    irr = np.asarray(irr)
+
+    for i in range(q.shape[0]):
+        d2 = np.sum((pos - q[i]) ** 2, axis=1)
+        sel = (d2 < radius * radius) & (dirn @ nrm[i] < 0)
+        if sel.sum() > k:
+            d2s = np.sort(d2[sel])
+            t = d2s[k - 1]  # k-th nearest distance^2
+            take = sel & (d2 <= t)
+            expect = power[take].sum(axis=0) / (np.pi * t)
+        else:
+            expect = power[sel].sum(axis=0) / (np.pi * radius * radius)
+        # Histogram threshold resolves t to r^2/4096: a few boundary photons
+        # and the slightly-larger area differ from exact kNN -> ~2% tol.
+        np.testing.assert_allclose(irr[i], expect, rtol=0.02, atol=1e-7)
+
+
+def test_grid_index_cap_covers_occupancy(rng):
+    """build_grid_index's default cap equals the max bucket occupancy —
+    nothing is silently dropped even with every photon in one cell."""
+    pos = np.zeros((300, 3), np.float32) + rng.uniform(
+        0, 0.01, size=(300, 3)).astype(np.float32)
+    dirn = np.tile(np.array([[0, 0, -1]], np.float32), (300, 1))
+    power = np.full((300, 3), 1.0 / 300, np.float32)
+    pmap = build_grid_index(pos, dirn, power, 0.5)
+    assert pmap.cell_cap >= 300
+    irr, _ = gather_irradiance(pmap, jnp.zeros((1, 3)),
+                               jnp.asarray([[0.0, 0.0, 1.0]]))
+    # All 300 photons accepted: sum(power)/(pi r^2) == 1/(pi * 0.25).
+    np.testing.assert_allclose(np.asarray(irr)[0], 1.0 / (np.pi * 0.25),
+                               rtol=1e-4)
+
+
 def test_hemisphere_rejection(rng):
     # Photons coming from *below* must be rejected for an up-facing normal.
     pos = np.zeros((10, 3), np.float32)
