@@ -91,6 +91,14 @@ class RenderConfig:
     # most lanes hit non-refractive materials) contribute black.
     refr_capacity: float = 0.25
 
+    # GI-child compaction, mirroring refr_capacity: each level reserves at
+    # most ceil(N * gi_capacity) slots for GI children. Lanes that MISSED
+    # need no GI child, so open scenes (lots of background) shrink their
+    # deeper levels; live lanes beyond capacity contribute black — counted
+    # in LevelRecord.drop_gi and recovered by the adaptive re-render. 1.0
+    # keeps the round-1 full-width behavior (bit-identical RNG streams).
+    gi_capacity: float = 1.0
+
     @property
     def max_levels(self) -> int:
         """Total shade-tree depth (levels 0..max_levels-1 are shaded)."""
@@ -102,13 +110,20 @@ class RenderConfig:
         k = int(np.ceil(n * self.refr_capacity))
         return min(n, max(128, (k + 127) // 128 * 128))
 
+    def gi_cap(self, n: int) -> int:
+        """GI-child slot count for a level of n tasks."""
+        if self.gi_capacity >= 1.0:
+            return n
+        k = int(np.ceil(n * self.gi_capacity))
+        return min(n, max(128, (k + 127) // 128 * 128))
+
     def level_sizes(self, chunk: int):
         """Task counts per level for a camera chunk of `chunk` lanes."""
         sizes = [chunk]
         for level in range(self.max_levels - 1):
             n = sizes[-1]
             k = self.refr_cap(n)
-            sizes.append((n if self.gi_active(level) else 0) + k)
+            sizes.append((self.gi_cap(n) if self.gi_active(level) else 0) + k)
         return sizes
 
     def gi_active(self, level: int) -> bool:

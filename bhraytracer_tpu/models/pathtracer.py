@@ -90,12 +90,17 @@ class LevelRecord(NamedTuple):
     refr_absorb: jnp.ndarray  # (K,3) Beer-Lambert coefficient (0 = none)
     refr_env: jnp.ndarray  # (K,3) contribution if the refr child misses
     refr_add: jnp.ndarray  # (K,3) terminal contribution when no child
+    # Per-lane slot into the level's compacted GI-child block (-1 = no
+    # child; identity arange when gi_capacity == 1.0).
+    gi_slot: jnp.ndarray  # (N,) i32
     # Silent-energy-loss instrumentation (scalars): refraction candidates
-    # beyond the K-slot capacity, and TIR stragglers beyond the tail width.
-    # Both contribute black when nonzero; CI asserts zero on bundled scenes
-    # and render_image re-renders affected chunks at full capacity.
+    # beyond the K-slot capacity, TIR stragglers beyond the tail width, and
+    # live GI lanes beyond the GI-child capacity. All contribute black when
+    # nonzero; CI asserts zero on bundled scenes and render_image re-renders
+    # affected chunks at full capacity.
     drop_refr: jnp.ndarray  # () i32
     drop_tir: jnp.ndarray  # () i32
+    drop_gi: jnp.ndarray  # () i32
     # ACTIVE traced segments at this level (closest hits on live lanes +
     # real shadow queries + live refraction-chain trips) — the honest work
     # count for rays/s benchmarks (static level_sizes over-counts dead lanes).
@@ -114,6 +119,7 @@ class ChunkStats(NamedTuple):
 
     drop_refr: jnp.ndarray  # refraction-cap overflow lanes (black bias)
     drop_tir: jnp.ndarray  # TIR-tail overflow lanes (black bias)
+    drop_gi: jnp.ndarray  # GI-cap overflow lanes (black bias)
     segments: jnp.ndarray  # ACTIVE traced segments (honest work count)
 
 
@@ -611,13 +617,40 @@ def _shade_level(
 
     # --- GI lobe ---
     gi_on = cfg.gi_active(level)
+    drop_gi = jnp.zeros((), jnp.int32)
     if gi_on:
         gi_o, gi_d, gi_albedo, gi_env = _gi_sample(
             pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, 8:13]
         )
+        g_cap = cfg.gi_cap(n)
+        if g_cap < n:
+            # Compact live GI children (shade lanes) into g_cap slots, like
+            # the refraction chain above: missed/inactive lanes need no GI
+            # subtree, so open scenes stop paying full width per level.
+            order_g = jnp.argsort(~shade, stable=True)
+            sel_g = order_g[:g_cap]
+            sel_g_valid = shade[sel_g]
+            gi_slot = (
+                jnp.full((n,), -1, jnp.int32)
+                .at[sel_g]
+                .set(jnp.where(sel_g_valid,
+                               jnp.arange(g_cap, dtype=jnp.int32), -1))
+            )
+            drop_gi = (jnp.sum(shade) - jnp.sum(sel_g_valid)).astype(jnp.int32)
+            gi_children = Tasks(
+                o=gi_o[sel_g], d=gi_d[sel_g], active=sel_g_valid,
+                bounce=tasks.bounce[sel_g],
+            )
+        else:
+            # Full width: identity mapping, bit-identical to the
+            # uncompacted layout (RNG streams are positional).
+            gi_slot = jnp.arange(n, dtype=jnp.int32)
+            gi_children = Tasks(o=gi_o, d=gi_d, active=shade,
+                                bounce=tasks.bounce)
     else:
         gi_albedo = jnp.zeros((n, 3))
         gi_env = jnp.zeros((n, 3))
+        gi_slot = jnp.full((n,), -1, jnp.int32)
 
     rec = LevelRecord(
         active=tasks.active,
@@ -632,15 +665,16 @@ def _shade_level(
         refr_absorb=refr_absorb,
         refr_env=refr_env,
         refr_add=refr_add,
+        gi_slot=gi_slot,
         drop_refr=drop_refr,
         drop_tir=drop_tir,
+        drop_gi=drop_gi,
         segs=segs,
     )
 
-    # --- children: [gi children (N)] ++ [compacted refr children (K)] ---
+    # --- children: [compacted gi children (G)] ++ [compacted refr (K)] ---
     refr_children = Tasks(o=ro, d=rd, active=refr_has_child, bounce=bounce_left)
     if gi_on:
-        gi_children = Tasks(o=gi_o, d=gi_d, active=shade, bounce=tasks.bounce)
         children = Tasks(
             o=jnp.concatenate([gi_children.o, refr_children.o]),
             d=jnp.concatenate([gi_children.d, refr_children.d]),
@@ -661,13 +695,26 @@ def _combine_level(
     child_hit,
 ):
     """Backward combine: Shade's stage sums with clamp + early-out semantics
-    (MtlBlinn.cpp:117-131). Children arrive as [gi (N)] ++ [refr (K)]."""
+    (MtlBlinn.cpp:117-131). Children arrive as [gi (G)] ++ [refr (K)];
+    per-lane GI rows are looked up through rec.gi_slot (identity when
+    gi_capacity == 1.0)."""
     n = rec.active.shape[0]
     k_cap = rec.refr_has_child.shape[0]
     gi_on = cfg.gi_active(level)
     if gi_on:
-        gi_rad, gi_z, gi_hit = child_rad[:n], child_z[:n], child_hit[:n]
-        r_rad, r_z, r_hit = child_rad[n:], child_z[n:], child_hit[n:]
+        g_cap = cfg.gi_cap(n)
+        gslot = rec.gi_slot
+        gvalid = gslot >= 0
+        kg = jnp.clip(gslot, 0, g_cap - 1)
+        gi_rad = child_rad[:g_cap][kg]
+        gi_z = child_z[:g_cap][kg]
+        # Lanes without a slot take the no-hit path (environment term) —
+        # exact for dead lanes (their child would have been inactive);
+        # biased for dropped live lanes, which are counted in drop_gi and
+        # recovered by the adaptive re-render.
+        gi_hit = child_hit[:g_cap][kg] & gvalid
+        r_rad, r_z, r_hit = (child_rad[g_cap:], child_z[g_cap:],
+                             child_hit[g_cap:])
     else:
         r_rad, r_z, r_hit = child_rad, child_z, child_hit
 
@@ -752,6 +799,7 @@ def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y, pmap=N
     stats = ChunkStats(
         drop_refr=sum(r.drop_refr for r in recs),
         drop_tir=sum(r.drop_tir for r in recs),
+        drop_gi=sum(r.drop_gi for r in recs),
         segments=sum(r.segs for r in recs),
     )
     return rad, z0, stats
@@ -849,6 +897,7 @@ def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
     stats = ChunkStats(
         drop_refr=sum(r.drop_refr for r in recs),
         drop_tir=sum(r.drop_tir for r in recs),
+        drop_gi=sum(r.drop_gi for r in recs),
         segments=sum(r.segs for r in recs),
     )
     acc, zb = _stage_finish_jit(recs[0].hit, child_rad, bg, recs[0].z, accum, zbuf, first)
@@ -878,7 +927,7 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     key = jax.random.PRNGKey(seed)
     accum = np.zeros((total, 3), np.float32)
     zbuffer = np.full((total,), BIG, np.float32)
-    total_drops = np.zeros((2,), np.int64)
+    total_drops = np.zeros((3,), np.int64)
     total_segments = 0
     chunk = min(max(1, cfg.chunk_rays), total)
     n_chunks = -(-total // chunk)
@@ -920,20 +969,20 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
                     jnp.add, st_acc, st)
             return acc_d, z_d, np.asarray(
                 [int(st_acc.drop_refr), int(st_acc.drop_tir),
-                 int(st_acc.segments)], np.int64)
+                 int(st_acc.drop_gi), int(st_acc.segments)], np.int64)
 
         acc_d, z_d, st_host = run_chunk(cfg)
-        if st_host[:2].any() and cfg.adaptive_full_capacity:
+        if st_host[:3].any() and cfg.adaptive_full_capacity:
             # Lossless re-render of this chunk: full refraction capacity and
             # no TIR-tail compaction (one extra compile set, paid only when a
             # drop is detected).
             cfg_full = dataclasses.replace(
                 cfg, refr_capacity=1.0, tir_tail_compaction=False,
-                adaptive_full_capacity=False,
+                gi_capacity=1.0, adaptive_full_capacity=False,
             )
             acc_d, z_d, st_host = run_chunk(cfg_full)
-        total_drops += st_host[:2]
-        total_segments += int(st_host[2])
+        total_drops += st_host[:3]
+        total_segments += int(st_host[3])
         accum[start:stop] = np.asarray(acc_d, np.float32)[:count]
         zbuffer[start:stop] = np.asarray(z_d, np.float32)[:count]
         done[start // chunk] = True
@@ -956,7 +1005,8 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
         return img, {"zbuffer": zbuffer.reshape(height, width),
                      "sample_count": np.full((height, width), spp, np.int32),
                      "dropped_lanes": {"refr_overflow": int(total_drops[0]),
-                                       "tir_overflow": int(total_drops[1])},
+                                       "tir_overflow": int(total_drops[1]),
+                                       "gi_overflow": int(total_drops[2])},
                      "traced_segments": total_segments}
     return img
 
