@@ -143,6 +143,12 @@ def _headline(iters: int = 10):
         tir_bounces=16,
         chunk_rays=65536,
         texture_sample_count=1,
+        # Measured-safe on this scene: drop counters stay 0 while the
+        # refraction chain traces ~3x narrower (live refr children are ~6%
+        # of lanes; see PROGRESS ledger r2). Losses, if any scene produced
+        # them, are counted in LevelRecord.drop_* and would fail
+        # tests/test_energy_loss.py.
+        refr_capacity=0.08,
     )
     cam_p = from_scene_camera(cam)
 
@@ -185,7 +191,7 @@ def _full_1024(spp: int = 1):
     cam.width, cam.height = 1024, 1024
     cfg = RenderConfig(spp=spp, gi_bounces=3, extra_refr_levels=2,
                        tir_bounces=16, chunk_rays=65536,
-                       texture_sample_count=1)
+                       texture_sample_count=1, refr_capacity=0.08)
     cam_p = from_scene_camera(cam)
     n = cfg.chunk_rays
     total = cam.width * cam.height

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bhraytracer_tpu.ops.compact import inverse_permutation
 from bhraytracer_tpu.ops.intersect import PERP_EPS
 from bhraytracer_tpu.ops.linalg import BIG
 
@@ -255,7 +256,7 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
         t_init = jnp.full((o.shape[0],), BIG)
     if reorder:
         order = _coherence_order(pack, root, o, d, t_init)
-        inv = jnp.argsort(order, stable=True)
+        inv = inverse_permutation(order)
         t, face, front = bvh_closest_pallas(
             pack, root, o[order], d[order], hit_side, t_init[order],
             reorder=False,
@@ -377,7 +378,7 @@ def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = Tru
     if reorder:
         tm = jnp.broadcast_to(t_max, (o.shape[0],))
         order = _coherence_order(pack, root, o, d, tm)
-        inv = jnp.argsort(order, stable=True)
+        inv = inverse_permutation(order)
         occ = bvh_anyhit_pallas(
             pack, root, o[order], d[order], t_min, tm[order], reorder=False
         )

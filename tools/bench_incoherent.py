@@ -62,16 +62,35 @@ def main() -> None:
                     jnp.float32)
     d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
 
-    f = jax.jit(lambda o, d: T.trace_closest(pack, o, d, "front").t)
-    jax.block_until_ready(f(o, d))
-    t0 = time.time()
-    out = None
-    for _ in range(args.iters):
-        out = f(o, d)
-    jax.block_until_ready(out)
-    ms = (time.time() - t0) / args.iters * 1e3
-    print(f"incoherent closest-hit: {ms:.2f} ms for {n} rays "
-          f"({n / ms / 1e3:.1f}M rays/s) on {jax.default_backend()}")
+    def timed(name, fn):
+        jax.block_until_ready(fn(o, d))
+        t0 = time.time()
+        out = None
+        for _ in range(args.iters):
+            out = fn(o, d)
+        jax.block_until_ready(out)
+        ms = (time.time() - t0) / args.iters * 1e3
+        print(f"{name}: {ms:.2f} ms for {n} rays "
+              f"({n / ms / 1e3:.1f}M rays/s) on {jax.default_backend()}",
+              flush=True)
+
+    timed("incoherent closest-hit (packet)",
+          jax.jit(lambda o, d: T.trace_closest(pack, o, d, "front").t))
+
+    if pack.n_msh:
+        from bhraytracer_tpu.ops.linalg import BIG
+        from bhraytracer_tpu.ops.pallas_bvh import bvh_closest_pallas
+        from bhraytracer_tpu.ops.pallas_bvh_subpacket import (
+            bvh_closest_subpacket,
+        )
+
+        ti = jnp.full((n,), BIG)
+        timed("bvh only (packet kernel)",
+              jax.jit(lambda o, d: bvh_closest_pallas(pack, 0, o, d,
+                                                      "front", ti)[0]))
+        timed("bvh only (sub-packet kernel)",
+              jax.jit(lambda o, d: bvh_closest_subpacket(pack, 0, o, d,
+                                                         "front", ti)[0]))
 
 
 if __name__ == "__main__":
