@@ -74,6 +74,19 @@ class RenderConfig:
     # small tir_bounces (the scan always pays max iterations).
     differentiable: bool = False
 
+    # Depth of field: jitter the eye over the camera's `dof` aperture disc
+    # (thin lens). The reference parses dof (scene.h:518) but only its GL
+    # preview uses it (viewport.cpp:238-243) — the ray tracer renders pinhole
+    # regardless; False keeps that parity, True completes the camera model.
+    use_dof: bool = False
+
+    # Rematerialize each shade-tree level in the backward pass
+    # (jax.checkpoint around _shade_level): reverse-mode memory then holds
+    # one level's working set plus the per-level LevelRecords instead of
+    # every intermediate of every level — the difference between a 24x18
+    # toy and a 256x256+ inverse render. Forward-only jits are unaffected.
+    remat_levels: bool = True
+
     # Two-stage TIR chain: after 3 full-width trips, recompact stragglers to
     # quarter width. Stragglers beyond that tail contribute black — counted
     # in LevelRecord.drop_tir; set False for a guaranteed-lossless chain

@@ -112,9 +112,61 @@ def train_denoiser(
     return params, losses
 
 
+_PRETRAINED = "denoiser_weights.npz"
+
+
+def save_weights(params, path: str, aux_channels: int = 0) -> None:
+    """Flatten the flax param pytree to an npz (plus the aux-channel count)."""
+    import os
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrs = {"/".join(str(getattr(k, "key", k)) for k in path_): np.asarray(v)
+            for path_, v in flat}
+    arrs["__aux_channels__"] = np.int32(aux_channels)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    os.replace(tmp, path)
+
+
+def load_weights(path: str):
+    """Inverse of save_weights: returns (model, params)."""
+    data = np.load(path)
+    aux = int(data["__aux_channels__"])
+    model = DenoiserUNet(aux_channels=aux)
+    params = {}
+    for k in data.files:
+        if k == "__aux_channels__":
+            continue
+        node = params
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[k])
+    return model, params
+
+
+def load_pretrained():
+    """The shipped weights (trained on bundled-scene render pairs by
+    tools/train_denoiser.py — the OIDN-arrives-pretrained contract,
+    Main.cpp:60-95)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _PRETRAINED)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"pretrained denoiser weights missing at {path}; regenerate with "
+            "tools/train_denoiser.py")
+    return load_weights(path)
+
+
 def render_training_pairs(pack, camera, base_cfg, n_pairs: int = 4,
-                          noisy_spp: int = 2, clean_spp: int = 64, seed: int = 0):
-    """Render (noisy, clean) pairs with the project's own renderer."""
+                          noisy_spp: int = 2, clean_spp: int = 64, seed: int = 0,
+                          with_aux: bool = False):
+    """Render (noisy, clean) pairs with the project's own renderer. With
+    with_aux, the noisy tensor gains first-hit albedo+normal channels
+    (the OIDN RT-filter auxiliary inputs, Main.cpp:68-77)."""
     import dataclasses
 
     from bhraytracer_tpu.models.pathtracer import render_image
@@ -123,6 +175,12 @@ def render_training_pairs(pack, camera, base_cfg, n_pairs: int = 4,
     for i in range(n_pairs):
         cfg_n = dataclasses.replace(base_cfg, spp=noisy_spp, use_gamma=False)
         cfg_c = dataclasses.replace(base_cfg, spp=clean_spp, use_gamma=False)
-        noisy.append(render_image(pack, camera, cfg_n, seed=seed + 1000 + i))
+        if with_aux:
+            img, aux = render_image(pack, camera, cfg_n, seed=seed + 1000 + i,
+                                    return_aux=True)
+            noisy.append(np.concatenate(
+                [img, aux["albedo"], aux["normal"]], -1))
+        else:
+            noisy.append(render_image(pack, camera, cfg_n, seed=seed + 1000 + i))
         clean.append(render_image(pack, camera, cfg_c, seed=seed + 2000 + i))
     return np.stack(noisy), np.stack(clean)

@@ -35,6 +35,7 @@ import numpy as np
 
 from bhraytracer_tpu.config import RenderConfig
 from bhraytracer_tpu.ops.camera import CameraParams, camera_basis, from_scene_camera, gen_rays
+from bhraytracer_tpu.ops.compact import lookup_rows, partition_indices
 from bhraytracer_tpu.ops.linalg import (
     BIG,
     acos_safe,
@@ -141,17 +142,19 @@ class Mtl(NamedTuple):
 
 
 def _fetch_mtl(pack, mtl_id) -> Mtl:
+    # lookup_rows: the material table is tiny and XLA's fused tiny-table
+    # gather is ~20x slower than a where-chain/one-hot select (ledger r2).
     i = jnp.clip(mtl_id, 0, pack.mtl_gloss.shape[0] - 1)
     return Mtl(
-        diffuse=pack.mtl_diffuse[i],
-        diffuse_tm=pack.mtl_diffuse_tm[i],
-        specular=pack.mtl_specular[i],
-        specular_tm=pack.mtl_specular_tm[i],
-        gloss=pack.mtl_gloss[i],
-        refraction=pack.mtl_refraction[i],
-        refr_gloss=pack.mtl_refr_gloss[i],
-        ior=pack.mtl_ior[i],
-        absorption=pack.mtl_absorption[i],
+        diffuse=lookup_rows(pack.mtl_diffuse, i),
+        diffuse_tm=lookup_rows(pack.mtl_diffuse_tm, i),
+        specular=lookup_rows(pack.mtl_specular, i),
+        specular_tm=lookup_rows(pack.mtl_specular_tm, i),
+        gloss=lookup_rows(pack.mtl_gloss, i),
+        refraction=lookup_rows(pack.mtl_refraction, i),
+        refr_gloss=lookup_rows(pack.mtl_refr_gloss, i),
+        ior=lookup_rows(pack.mtl_ior, i),
+        absorption=lookup_rows(pack.mtl_absorption, i),
     )
 
 
@@ -177,8 +180,8 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, u):
     u: (N, >=5) uniform columns."""
     n = surf.p.shape[0]
     kind = pack.light_kind[lidx]
-    lvec = pack.light_vec[lidx]
-    lsize = pack.light_size[lidx]
+    lvec = lookup_rows(pack.light_vec, lidx)
+    lsize = lookup_rows(pack.light_size, lidx)
 
     kd = jnp.max(mtl.diffuse, axis=1)
     ks = jnp.max(new_spec_color, axis=1)
@@ -218,9 +221,9 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
     n_shadow () i32 — lanes issuing a real shadow query)."""
     n = p.shape[0]
     kind = pack.light_kind[lidx]
-    lvec = pack.light_vec[lidx]
-    lsize = pack.light_size[lidx]
-    intensity = pack.light_intensity[lidx]
+    lvec = lookup_rows(pack.light_vec, lidx)
+    lsize = lookup_rows(pack.light_size, lidx)
+    intensity = lookup_rows(pack.light_intensity, lidx)
 
     center_dir = lvec - p
     rr = dot(center_dir, center_dir)
@@ -482,8 +485,10 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
     if cfg.differentiable:
         # Fixed-trip scan: reverse-mode AD cannot cross while_loop. The body
         # is a fixpoint (settled lanes no-op), so extra trips are exact.
+        body_d = jax.checkpoint(body) if cfg.remat_levels else body
+
         def scan_body(s, _):
-            return jax.lax.cond(jnp.any(~s["settled"]), body, lambda x: x, s), None
+            return jax.lax.cond(jnp.any(~s["settled"]), body_d, lambda x: x, s), None
 
         state, _ = jax.lax.scan(scan_body, state, None, length=cfg.tir_bounces + 1)
         return (state["case"], state["out_o"], state["out_d"], state["bounce"],
@@ -504,8 +509,7 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
     k2 = max(128, -(-n // 4) // 128 * 128)
     if cfg.tir_tail_compaction and k2 < n:
         unsettled = ~state["settled"]
-        order = jnp.argsort(state["settled"], stable=True)  # unsettled first
-        sel = order[:k2]
+        sel = partition_indices(unsettled, k2)  # unsettled first
         sel_valid = unsettled[sel]
         sub = {k_: state[k_][sel] for k_ in
                ("p", "nrm", "d", "bounce", "case", "out_o", "out_d")}
@@ -587,8 +591,7 @@ def _shade_level(
     has_refr = jnp.any(refr_eff != 0.0, axis=1)  # !refraction.IsBlack()
     chain_cand = shade & has_refr & (tasks.bounce > 0)
     k_cap = cfg.refr_cap(n)
-    order = jnp.argsort(~chain_cand, stable=True)  # candidates first
-    sel = order[:k_cap]
+    sel = partition_indices(chain_cand, k_cap)  # candidates first
     sel_valid = chain_cand[sel]
 
     def g(x):
@@ -627,8 +630,7 @@ def _shade_level(
             # Compact live GI children (shade lanes) into g_cap slots, like
             # the refraction chain above: missed/inactive lanes need no GI
             # subtree, so open scenes stop paying full width per level.
-            order_g = jnp.argsort(~shade, stable=True)
-            sel_g = order_g[:g_cap]
+            sel_g = partition_indices(shade, g_cap)
             sel_g_valid = shade[sel_g]
             gi_slot = (
                 jnp.full((n,), -1, jnp.int32)
@@ -777,10 +779,22 @@ def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y, pmap=N
     )
     recs = []
     for level in range(cfg.max_levels):
-        rec, tasks, _ = _shade_level(
-            pack, cfg, tasks, level, jax.random.fold_in(key, 100 + level), dd_x, dd_y,
-            pmap=pmap,
-        )
+        if cfg.differentiable and cfg.remat_levels:
+            # Per-level rematerialization: backward recomputes this level's
+            # forward instead of keeping its traversal/shading intermediates
+            # alive across the whole tree (VERDICT r1 #7 — the 24x18 FD toy
+            # ceiling was reverse-mode memory, not compute).
+            def shade(pk, ts, k, dx, dy, _level=level):
+                return _shade_level(pk, cfg, ts, _level, k, dx, dy, pmap=pmap)
+
+            rec, tasks, _ = jax.checkpoint(shade)(
+                pack, tasks, jax.random.fold_in(key, 100 + level), dd_x, dd_y
+            )
+        else:
+            rec, tasks, _ = _shade_level(
+                pack, cfg, tasks, level, jax.random.fold_in(key, 100 + level),
+                dd_x, dd_y, pmap=pmap,
+            )
         recs.append(rec)
 
     # Unexpanded tail: children of the last level contribute black.
@@ -814,7 +828,8 @@ def _render_chunk(pack, cfg: RenderConfig, cam: CameraParams, width, height, px,
                   pmap=None):
     """Radiance for one chunk of (pixel, sample) lanes. px/py: (N,)."""
     n = px.shape[0]
-    u = jax.random.uniform(jax.random.fold_in(key, 0), (n, 2))
+    u = jax.random.uniform(jax.random.fold_in(key, 0),
+                           (n, 4 if cfg.use_dof else 2))
     o, d = gen_rays(cam, width, height, px, py, u)
     _, dd_x, dd_y = camera_basis(cam, width, height)
     bg_uv = jnp.stack(
@@ -843,7 +858,8 @@ _render_chunk_jit = jax.jit(
 
 def _stage_raygen(pack, cfg, cam, width, height, px, py, key):
     n = px.shape[0]
-    u = jax.random.uniform(jax.random.fold_in(key, 0), (n, 2))
+    u = jax.random.uniform(jax.random.fold_in(key, 0),
+                           (n, 4 if cfg.use_dof else 2))
     o, d = gen_rays(cam, width, height, px, py, u)
     _, dd_x, dd_y = camera_basis(cam, width, height)
     bg_uv = jnp.stack(
@@ -868,10 +884,25 @@ def _stage_finish(rec0_hit, rad, bg, z, accum, zbuf, first):
 _stage_finish_jit = jax.jit(_stage_finish)
 
 
+def _stage_aux(pack, cfg, surf: Surface, hit_mask):
+    """Denoiser auxiliary channels from the primary-hit surface: first-hit
+    diffuse albedo + world normal (the buffers OIDN's RT filter takes,
+    Main.cpp:68-77). Misses contribute zero."""
+    mtl = _fetch_mtl(pack, surf.mtl)
+    albedo = textured_color(pack, mtl.diffuse, mtl.diffuse_tm, surf.uvw,
+                            surf.duvw, taps=1)
+    m = hit_mask[:, None]
+    return jnp.where(m, albedo, 0.0), jnp.where(m, surf.n, 0.0)
+
+
+_stage_aux_jit = jax.jit(_stage_aux, static_argnames=("cfg",))
+
+
 def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
-                        accum, zbuf, first: bool):
+                        accum, zbuf, first: bool, want_aux: bool = False):
     """One chunk through per-level jitted stages; accumulates into device
-    buffers (accum, zbuf). Returns (accum, zbuf, ChunkStats)."""
+    buffers (accum, zbuf). Returns (accum, zbuf, ChunkStats) — plus an
+    (albedo, normal) pair of first-hit denoiser aux buffers when want_aux."""
     o, d, bg, dd_x, dd_y = _stage_raygen_jit(pack, cfg, cam, width, height, px, py, key)
     n = o.shape[0]
     tasks = Tasks(
@@ -881,11 +912,14 @@ def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
     )
     key2 = jax.random.fold_in(key, 1)
     recs = []
+    surf0 = None
     for level in range(cfg.max_levels):
-        rec, tasks, _ = _shade_level_jit(
+        rec, tasks, surf = _shade_level_jit(
             pack, cfg, tasks, level, jax.random.fold_in(key2, 100 + level),
             dd_x, dd_y, pmap,
         )
+        if level == 0:
+            surf0 = surf
         recs.append(rec)
     m = tasks.o.shape[0]
     child_rad = jnp.zeros((m, 3))
@@ -901,6 +935,9 @@ def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
         segments=sum(r.segs for r in recs),
     )
     acc, zb = _stage_finish_jit(recs[0].hit, child_rad, bg, recs[0].z, accum, zbuf, first)
+    if want_aux:
+        albedo, normal = _stage_aux_jit(pack, cfg, surf0, recs[0].hit)
+        return acc, zb, stats, (albedo, normal)
     return acc, zb, stats
 
 
@@ -927,6 +964,13 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     key = jax.random.PRNGKey(seed)
     accum = np.zeros((total, 3), np.float32)
     zbuffer = np.full((total,), BIG, np.float32)
+    # First-hit denoiser aux channels (OIDN albedo/normal, Main.cpp:68-77),
+    # taken from the first sample of each pixel.
+    want_aux = return_aux or (cfg.use_denoiser and (
+        denoiser is None  # pretrained weights (aux-trained) will be loaded
+        or getattr(denoiser[0], "aux_channels", 0) > 0))
+    aux_albedo = np.zeros((total, 3), np.float32) if want_aux else None
+    aux_normal = np.zeros((total, 3), np.float32) if want_aux else None
     total_drops = np.zeros((3,), np.int64)
     total_segments = 0
     chunk = min(max(1, cfg.chunk_rays), total)
@@ -959,19 +1003,24 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
             acc_d = jnp.zeros((chunk, 3))
             z_d = jnp.full((chunk,), BIG)
             st_acc = None
+            aux_d = None
             for s in range(spp):
                 ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
-                acc_d, z_d, st = render_chunk_staged(
+                out = render_chunk_staged(
                     pack, cfg_run, cam, width, height, px, py, ck, photon_map,
-                    acc_d, z_d, s == 0,
+                    acc_d, z_d, s == 0, want_aux=(want_aux and s == 0),
                 )
+                if want_aux and s == 0:
+                    acc_d, z_d, st, aux_d = out
+                else:
+                    acc_d, z_d, st = out
                 st_acc = st if st_acc is None else jax.tree.map(
                     jnp.add, st_acc, st)
-            return acc_d, z_d, np.asarray(
+            return acc_d, z_d, aux_d, np.asarray(
                 [int(st_acc.drop_refr), int(st_acc.drop_tir),
                  int(st_acc.drop_gi), int(st_acc.segments)], np.int64)
 
-        acc_d, z_d, st_host = run_chunk(cfg)
+        acc_d, z_d, aux_d, st_host = run_chunk(cfg)
         if st_host[:3].any() and cfg.adaptive_full_capacity:
             # Lossless re-render of this chunk: full refraction capacity and
             # no TIR-tail compaction (one extra compile set, paid only when a
@@ -980,11 +1029,14 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
                 cfg, refr_capacity=1.0, tir_tail_compaction=False,
                 gi_capacity=1.0, adaptive_full_capacity=False,
             )
-            acc_d, z_d, st_host = run_chunk(cfg_full)
+            acc_d, z_d, aux_d, st_host = run_chunk(cfg_full)
         total_drops += st_host[:3]
         total_segments += int(st_host[3])
         accum[start:stop] = np.asarray(acc_d, np.float32)[:count]
         zbuffer[start:stop] = np.asarray(z_d, np.float32)[:count]
+        if want_aux:
+            aux_albedo[start:stop] = np.asarray(aux_d[0], np.float32)[:count]
+            aux_normal[start:stop] = np.asarray(aux_d[1], np.float32)[:count]
         done[start // chunk] = True
         if checkpoint_dir:
             save_render_state(checkpoint_dir, accum, zbuffer, done,
@@ -994,16 +1046,26 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     if cfg.use_gamma:
         img = np.power(np.maximum(img, 0.0), 1.0 / cfg.gamma)
     img = img.reshape(height, width, 3)
-    if cfg.use_denoiser and denoiser is not None:
+    if cfg.use_denoiser:
         # Denoise the (post-gamma) image, as the reference does with OIDN
-        # (Main.cpp:220-238: colorArray holds gamma-corrected values).
-        from bhraytracer_tpu.models.denoiser import denoise
+        # (Main.cpp:220-238: colorArray holds gamma-corrected values). With
+        # no explicit (model, params), the shipped pretrained weights load
+        # (OIDN arrives pretrained too, Main.cpp:60-95).
+        from bhraytracer_tpu.models.denoiser import denoise, load_pretrained
 
-        model, dparams = denoiser
-        img = np.asarray(denoise(model, dparams, jnp.asarray(img, jnp.float32)))
+        model, dparams = denoiser if denoiser is not None else load_pretrained()
+        aux = None
+        if getattr(model, "aux_channels", 0) > 0 and want_aux:
+            aux = jnp.asarray(np.concatenate(
+                [aux_albedo.reshape(height, width, 3),
+                 aux_normal.reshape(height, width, 3)], -1), jnp.float32)
+        img = np.asarray(denoise(model, dparams, jnp.asarray(img, jnp.float32),
+                                 aux=aux))
     if return_aux:
         return img, {"zbuffer": zbuffer.reshape(height, width),
                      "sample_count": np.full((height, width), spp, np.int32),
+                     "albedo": aux_albedo.reshape(height, width, 3),
+                     "normal": aux_normal.reshape(height, width, 3),
                      "dropped_lanes": {"refr_overflow": int(total_drops[0]),
                                        "tir_overflow": int(total_drops[1]),
                                        "gi_overflow": int(total_drops[2])},

@@ -24,6 +24,10 @@ class CameraParams(NamedTuple):
     up: jnp.ndarray  # (3,)
     fov: jnp.ndarray  # () degrees
     focaldist: jnp.ndarray  # ()
+    # Thin-lens aperture radius (scene.h:518 `dof`). The reference's
+    # integrator never reads it — only the GL preview jitters the eye with
+    # it (viewport.cpp:238-243); cfg.use_dof opts the integrator in.
+    dof: float = 0.0
 
 
 def from_scene_camera(cam) -> CameraParams:
@@ -33,6 +37,7 @@ def from_scene_camera(cam) -> CameraParams:
         up=jnp.asarray(cam.up, jnp.float32),
         fov=jnp.asarray(cam.fov, jnp.float32),
         focaldist=jnp.asarray(cam.focaldist, jnp.float32),
+        dof=jnp.asarray(getattr(cam, "dof", 0.0), jnp.float32),
     )
 
 
@@ -76,5 +81,19 @@ def gen_rays(
         + normalize(dd_y)[None, :] * ((u[:, 1] * 2.0 - 1.0) * pixel_len / 2.0)[:, None]
     )
     target = center + jitter
+    if u.shape[1] >= 4:
+        # Thin-lens eye jitter (viewport.cpp:238-243): uniform disc of
+        # radius `dof` in the (dir x up, up) plane; the target stays on the
+        # focal plane (`target` above sits at focaldist), so objects there
+        # render sharp and defocus grows away from it.
+        cam_x = cross(cam.up, -cam.dir)  # == dir x up (the reference's v)
+        r = jnp.sqrt(u[:, 2]) * cam.dof
+        a = u[:, 3] * 2.0 * jnp.pi
+        o = (
+            cam.pos[None, :]
+            + (r * jnp.cos(a))[:, None] * cam_x[None, :]
+            + (r * jnp.sin(a))[:, None] * cam.up[None, :]
+        )
+        return o, target - o
     o = jnp.broadcast_to(cam.pos, target.shape)
     return o, target - cam.pos

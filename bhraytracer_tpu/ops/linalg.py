@@ -7,6 +7,7 @@ but gradients do.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 BIG = 1.0e30
@@ -46,9 +47,20 @@ def normalize(a):
     return a / jnp.maximum(n, 1e-30)
 
 
+@jax.custom_jvp
 def acos_safe(x):
-    """ACosSafe (cyCore.h:193)."""
+    """ACosSafe (cyCore.h:193). Forward is the reference's clamped arccos,
+    bit-exact; the derivative -1/sqrt(1-x^2) is clamped away from the |x|=1
+    pole (it is infinite there and turns any 0*inf in reverse mode into NaN
+    — seen as NaN glossiness gradients whenever a lobe sample draws u ~ 1)."""
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+@acos_safe.defjvp
+def _acos_safe_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    xc = jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6)
+    return acos_safe(x), -dx / jnp.sqrt(1.0 - xc * xc)
 
 
 def asin_safe(x):

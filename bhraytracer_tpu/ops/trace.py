@@ -24,6 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from bhraytracer_tpu.ops.compact import lookup_rows
 from bhraytracer_tpu.ops.intersect import (
     box_intersect,
     plane_intersect,
@@ -438,8 +439,8 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surf
     # --- sphere ---
     if pack.n_sph:
         si = jnp.clip(hit.inst, 0, pack.sph_itm.shape[0] - 1)
-        s_itm = pack.sph_itm[si]
-        ol = mat_vec(s_itm, o - pack.sph_pos[si])
+        s_itm = lookup_rows(pack.sph_itm, si)
+        ol = mat_vec(s_itm, o - lookup_rows(pack.sph_pos, si))
         dl = mat_vec(s_itm, d)
         a = dot(dl, dl)
         b = 2.0 * dot(dl, ol)
@@ -464,15 +465,23 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surf
                 -1,
             )
         branches[KIND_SPHERE] = (t_s, p_s, n_s, uv_s, z3, z3, pack.sph_mtl[si],
-                                 pack.sph_tm[si], s_itm, pack.sph_pos[si])
+                                 lookup_rows(pack.sph_tm, si), s_itm,
+                                 lookup_rows(pack.sph_pos, si))
 
     # --- plane ---
     if pack.n_pln:
         pi = jnp.clip(hit.inst, 0, pack.pln_itm.shape[0] - 1)
-        p_itm = pack.pln_itm[pi]
-        ol = mat_vec(p_itm, o - pack.pln_pos[pi])
+        p_itm = lookup_rows(pack.pln_itm, pi)
+        ol = mat_vec(p_itm, o - lookup_rows(pack.pln_pos, pi))
         dl = mat_vec(p_itm, d)
-        t_p = -ol[:, 2] / jnp.where(dl[:, 2] == 0.0, 1e-30, dl[:, 2])
+        # Same degenerate-lane guard as the mesh branch below: a junk lane
+        # with dl_z ~ 0 would produce t ~ 1e30 -> inf positions whose VJP
+        # poisons upstream cotangents. Real plane hits pass the [-1,1]
+        # extent test, which a |t| ~ 1e12 grazing ray cannot.
+        para_p = jnp.abs(dl[:, 2]) < 1e-12
+        t_p = jnp.where(para_p, 0.0, -ol[:, 2]) / jnp.where(
+            para_p, 1.0, dl[:, 2]
+        )
         p_p = ol + t_p[:, None] * dl
         n_p = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
         uv_p = jnp.stack(
@@ -497,22 +506,32 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surf
         else:
             d0 = d1 = z3
         branches[KIND_PLANE] = (t_p, p_p, n_p, uv_p, d0, d1, pack.pln_mtl[pi],
-                                pack.pln_tm[pi], p_itm, pack.pln_pos[pi])
+                                lookup_rows(pack.pln_tm, pi), p_itm,
+                                lookup_rows(pack.pln_pos, pi))
 
     # --- mesh ---
     if pack.n_msh:
         from bhraytracer_tpu.ops.intersect import triangle_areas
 
         mi = jnp.clip(hit.inst, 0, pack.msh_itm.shape[0] - 1)
-        m_itm = pack.msh_itm[mi]
-        ol = mat_vec(m_itm, o - pack.msh_pos[mi])
+        m_itm = lookup_rows(pack.msh_itm, mi)
+        ol = mat_vec(m_itm, o - lookup_rows(pack.msh_pos, mi))
         dl = mat_vec(m_itm, d)
         fi = jnp.clip(hit.face, 0, pack.face_v.shape[0] - 1)
         vi = pack.face_v[fi]
         v0, v1, v2 = pack.verts[vi[:, 0]], pack.verts[vi[:, 1]], pack.verts[vi[:, 2]]
         vn = cross(v1 - v0, v2 - v0)
         tdiv = dot(vn, dl)
-        t_m = safe_div(dot(vn, v0) - dot(vn, ol), tdiv)
+        # Non-mesh/miss lanes run this branch with clipped junk ids; a
+        # near-parallel (vn, dl) then makes t ~ 1/eps, the projected areas
+        # overflow to inf and bc = inf/inf = NaN — whose VJP scatter-adds
+        # NaN into pack.verts even though the lane is where-masked out.
+        # Real hits can't be grazing (triangle_intersect culls |cos| <
+        # PERP_EPS), so zeroing degenerate lanes changes no selected value.
+        graze = jnp.abs(tdiv) < 1e-12
+        t_m = jnp.where(graze, 0.0, dot(vn, v0) - dot(vn, ol)) / jnp.where(
+            graze, 1.0, tdiv
+        )
         p_m = ol + t_m[:, None] * dl
         a0, a1, a2 = triangle_areas(v0, v1, v2, p_m, vn)
         asum = a0 + a1 + a2
@@ -536,7 +555,8 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surf
             )
         mtl_m = jnp.where(pack.msh_mtl[mi] >= 0, pack.msh_mtl[mi], pack.face_mtl[fi])
         branches[KIND_MESH] = (t_m, p_m, n_m, uv_m, z3, z3, mtl_m,
-                               pack.msh_tm[mi], m_itm, pack.msh_pos[mi])
+                               lookup_rows(pack.msh_tm, mi), m_itm,
+                               lookup_rows(pack.msh_pos, mi))
 
     if not branches:
         zero = jnp.zeros((n,))

@@ -69,11 +69,19 @@ def render_radiance_sharded(pack, cfg: RenderConfig, cam: CameraParams,
 # ---------------------------------------------------------------------------
 
 
-def trainable_params(pack, cam: CameraParams):
-    """The differentiable parameter pytree: material table + lights + camera
-    (the gradient targets named by the project brief; vertex gradients flow
-    through pack.verts the same way and can be added to this dict)."""
-    return dict(
+def trainable_params(pack, cam: CameraParams, include_geometry: bool = False,
+                     include_textures: bool = False):
+    """The differentiable parameter pytree: material table + lights + camera.
+
+    include_geometry adds the LOCAL-frame mesh vertex table (pack.verts) —
+    gradients flow through the barycentric re-interpolation in resolve_hit
+    (hit ids stay frozen, the standard hit-ID-frozen estimator).
+
+    include_textures adds the checker colors and the image atlas; the atlas
+    is promoted to float32 (kept on the uint8 0..255 scale so the sampling
+    path's 1/255 stays correct) — gradients flow through the bilinear /
+    elliptic filter weights in ops/texturing.py."""
+    d = dict(
         mtl_diffuse=pack.mtl_diffuse,
         mtl_specular=pack.mtl_specular,
         mtl_gloss=pack.mtl_gloss,
@@ -85,13 +93,19 @@ def trainable_params(pack, cam: CameraParams):
         cam_dir=cam.dir,
         cam_up=cam.up,
     )
+    if include_geometry:
+        d["verts"] = pack.verts
+    if include_textures:
+        d["tex_c1"] = pack.tex_c1
+        d["tex_c2"] = pack.tex_c2
+        d["atlas"] = pack.atlas.astype(jnp.float32)
+    return d
 
 
 def _apply_params(pack, cam: CameraParams, params):
     import dataclasses
 
-    pack = dataclasses.replace(
-        pack,
+    fields = dict(
         mtl_diffuse=params["mtl_diffuse"],
         mtl_specular=params["mtl_specular"],
         mtl_gloss=params["mtl_gloss"],
@@ -100,6 +114,10 @@ def _apply_params(pack, cam: CameraParams, params):
         light_intensity=params["light_intensity"],
         light_vec=params["light_vec"],
     )
+    for k in ("verts", "tex_c1", "tex_c2", "atlas"):
+        if k in params:
+            fields[k] = params[k]
+    pack = dataclasses.replace(pack, **fields)
     cam = cam._replace(pos=params["cam_pos"], dir=params["cam_dir"], up=params["cam_up"])
     return pack, cam
 

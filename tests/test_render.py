@@ -144,3 +144,32 @@ def test_render_proj2_lowres(reference_dir):
     img = render_image(pack, cam, cfg, seed=0)
     assert np.isfinite(img).all()
     assert img.std() > 0.01
+
+
+def test_dof_blurs_offfocus_sharpens_focus(simple_scene):
+    """cfg.use_dof: thin-lens eye jitter (viewport.cpp:238-243). The sphere
+    sits ~8.2 units away; with focaldist at the sphere and a wide aperture,
+    the sphere's silhouette stays sharp while the far ground blurs —
+    measured as mean |horizontal gradient| over the lower (ground) rows."""
+    pack, cam = load_scene(simple_scene)
+    cam.focaldist = 8.2
+    cam.dof = 0.4
+    cfg0 = RenderConfig(spp=8, gi_bounces=0, extra_refr_levels=0,
+                        chunk_rays=2048, texture_sample_count=1)
+    cfg1 = RenderConfig(spp=8, gi_bounces=0, extra_refr_levels=0,
+                        chunk_rays=2048, texture_sample_count=1, use_dof=True)
+    pin = render_image(pack, cam, cfg0, seed=0)
+    dof = render_image(pack, cam, cfg1, seed=0)
+    assert np.isfinite(dof).all()
+
+    def edge_energy(img, rows):
+        g = np.abs(np.diff(img[rows], axis=1)).mean()
+        return float(g)
+
+    # Sphere silhouette rows (middle) keep most of their edge energy;
+    # the shadow/ground contact region keeps less under defocus.
+    mid = slice(10, 22)
+    sharp_ratio = edge_energy(dof, mid) / max(edge_energy(pin, mid), 1e-9)
+    assert sharp_ratio > 0.55, sharp_ratio
+    # And the lens jitter must actually change the image.
+    assert np.abs(dof - pin).max() > 0.01

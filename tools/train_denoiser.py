@@ -1,0 +1,97 @@
+"""Train the shipped denoiser weights on bundled-scene render pairs.
+
+Produces bhraytracer_tpu/models/denoiser_weights.npz — the pretrained
+artifact render_image(cfg.use_denoiser=True) loads by default (the
+OIDN-arrives-pretrained contract, BHRayTracer/Main.cpp:60-95).
+
+Usage: python tools/train_denoiser.py [--steps 1500] [--res 96] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--res", type=int, default=96)
+    ap.add_argument("--pairs-per-scene", type=int, default=3)
+    ap.add_argument("--clean-spp", type=int, default=48)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import numpy as np
+
+    from bhraytracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bhraytracer_tpu.config import RenderConfig
+    from bhraytracer_tpu.models import denoiser as DN
+    from bhraytracer_tpu.scene.xml_loader import load_scene
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assets = os.path.join(repo, "assets")
+    scenes = ["proj2.xml", "proj7.xml", "proj12_backfaceTest.xml"]
+    ref = "/root/reference/BHRayTracer/Resource/Data"
+
+    import warnings
+
+    warnings.simplefilter("ignore")
+
+    noisy_l, clean_l = [], []
+    for sx in scenes:
+        path = os.path.join(ref, sx)
+        if not os.path.exists(path):
+            continue
+        pack, cam = load_scene(path, resource_root=assets)
+        cam.width = cam.height = args.res
+        cfg = RenderConfig(spp=1, gi_bounces=2, extra_refr_levels=1,
+                           tir_bounces=8, chunk_rays=args.res * args.res,
+                           texture_sample_count=1)
+        n, c = DN.render_training_pairs(
+            pack, cam, cfg, n_pairs=args.pairs_per_scene, noisy_spp=2,
+            clean_spp=args.clean_spp, seed=17, with_aux=True)
+        noisy_l.append(n)
+        clean_l.append(c)
+        print(f"{sx}: pairs {n.shape} noisy-mse "
+              f"{np.mean((n[..., :3] - c) ** 2):.5f}", flush=True)
+
+    noisy = np.concatenate(noisy_l)
+    clean = np.concatenate(clean_l)
+
+    model, params = DN.init_denoiser(jax.random.PRNGKey(0), aux_channels=6,
+                                     size=args.res)
+    params, losses = DN.train_denoiser(model, params, noisy, clean,
+                                       steps=args.steps, batch=4)
+    print(f"loss {losses[0]:.5f} -> {np.mean(losses[-20:]):.5f}", flush=True)
+
+    base = float(np.mean((noisy[..., :3] - clean) ** 2))
+    out = args.out or os.path.join(repo, "bhraytracer_tpu", "models",
+                                   DN._PRETRAINED)
+    DN.save_weights(params, out, aux_channels=6)
+    m2, p2 = DN.load_weights(out)
+    import jax.numpy as jnp
+
+    pred = np.stack([np.asarray(DN.denoise(m2, p2, jnp.asarray(x[..., :3]),
+                                           aux=jnp.asarray(x[..., 3:])))
+                     for x in noisy])
+    mse = float(np.mean((pred - clean) ** 2))
+    print(f"saved {out}: denoised-mse {mse:.5f} vs noisy-mse {base:.5f} "
+          f"({base / max(mse, 1e-12):.2f}x reduction)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
