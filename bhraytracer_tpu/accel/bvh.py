@@ -67,6 +67,84 @@ def build_bvh(verts: np.ndarray, faces: np.ndarray, leaf_size: int = 4) -> BVHAr
     return _build_bvh_py(verts, faces, leaf_size)
 
 
+def build_treelet_layout(left: np.ndarray, count: np.ndarray,
+                         node_rows: np.ndarray, budget_rows: int):
+    """Partition the tree into VMEM-sized treelets for streamed traversal.
+
+    Walks down from the root until every subtree's (node rows + face rows)
+    fits `budget_rows`, then re-emits each treelet's nodes in DFS order with
+    LOCAL child indices (leaf `left` becomes the face offset local to the
+    treelet's face slice). Returns (treelets, packed_rows) where treelets is
+    a tuple of (node_start, node_end, face_start, face_end) into the packed
+    node table / the UNCHANGED global face table. Relies on both builders'
+    DFS-left-first emission: every subtree owns a contiguous face range and
+    child ids exceed the parent's (asserted).
+
+    The reference has no analogue (cyBVH traverses from host RAM); this is
+    the TPU answer to meshes whose tables exceed the packet kernel's VMEM
+    budget — the caller streams one treelet slice per kernel call and folds
+    results with per-lane best-t, so pruning carries across treelets."""
+    n = left.shape[0]
+    internal = count == 0
+    li = left[internal]
+    assert (li > np.nonzero(internal)[0]).all(), "child ids must follow parent"
+
+    sub_nodes = np.ones(n, np.int64)
+    sub_faces = count.astype(np.int64).copy()
+    fstart = left.astype(np.int64).copy()
+    for i in range(n - 1, -1, -1):
+        if count[i] == 0:
+            l = int(left[i])
+            sub_nodes[i] += sub_nodes[l] + sub_nodes[l + 1]
+            sub_faces[i] = sub_faces[l] + sub_faces[l + 1]
+            fstart[i] = fstart[l]
+    # DFS-contiguity check: right sibling's faces start where left's end.
+    assert (fstart[li + 1] == fstart[li] + sub_faces[li]).all(), (
+        "subtree face ranges are not contiguous")
+
+    cut = []
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        if count[nid] > 0 or sub_nodes[nid] + sub_faces[nid] <= budget_rows:
+            cut.append(nid)
+        else:
+            stack.append(int(left[nid]) + 1)
+            stack.append(int(left[nid]))
+
+    treelets = []
+    blocks = []
+    ns = 0
+    for cn in cut:
+        fs = int(fstart[cn])
+        fe = fs + int(sub_faces[cn])
+        m = int(sub_nodes[cn])
+        rows = np.zeros((m, node_rows.shape[1]), node_rows.dtype)
+        # Local ids in DFS pre-order with sibling pairs adjacent (the kernel
+        # assumes right child = left + 1).
+        loc = {cn: 0}
+        nxt = 1
+        st = [cn]
+        while st:
+            nid = st.pop()
+            lid = loc[nid]
+            rows[lid] = node_rows[nid]
+            if count[nid] == 0:
+                l = int(left[nid])
+                loc[l] = nxt
+                loc[l + 1] = nxt + 1
+                nxt += 2
+                rows[lid, 6] = float(loc[l])
+                st.append(l + 1)
+                st.append(l)
+            else:
+                rows[lid, 6] = float(int(left[nid]) - fs)
+        treelets.append((ns, ns + m, fs, fe))
+        ns += m
+        blocks.append(rows)
+    return tuple(treelets), np.concatenate(blocks)
+
+
 def _build_bvh_py(verts: np.ndarray, faces: np.ndarray, leaf_size: int = 4) -> BVHArrays:
     """Pure-numpy builder fallback."""
     nf = faces.shape[0]

@@ -419,7 +419,7 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
         ray_d = jnp.where(live[:, None], s["d"], _MISS_D)
         hit = trace_closest(pack, ray_o, ray_d, "both")
         sres = resolve_hit(pack, ray_o, ray_d, hit, jnp.zeros(3), jnp.zeros(3),
-                           minimal=True)
+                           minimal=True, fast_rows=not cfg.differentiable)
 
         # miss -> NANPurple sentinel (RefractionRecusive else-branch :514-518)
         miss = live & ~hit.hit
@@ -559,7 +559,8 @@ def _shade_level(
         d=jnp.where(act, tasks.d, _MISS_D),
     )
     hit = trace_closest(pack, tasks.o, tasks.d, "front")
-    surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y)
+    surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y,
+                       fast_rows=not cfg.differentiable)
     shade = tasks.active & hit.hit
 
     mtl = _fetch_mtl(pack, surf.mtl)

@@ -36,12 +36,21 @@ SUBL = 8
 BLOCK = SUBL * LANES
 LEAF_SIZE = 4
 STACK_DEPTH = 64
-VMEM_BUDGET = 8 << 20  # physical bytes for node+face tables
+VMEM_BUDGET = 8 << 20  # physical bytes for node+face tables (single-shot)
+# Per-treelet row budget for STREAMED traversal of bigger scenes (each
+# 16-wide row pads to 128 lanes physically: 512 B/row -> 4 MB/treelet).
+TREELET_BUDGET_ROWS = (4 << 20) // (LANES * 4)
 
 
 def fits_vmem(pack) -> bool:
     rows = pack.pallas_nodes.shape[0] + pack.pallas_faces.shape[0]
     return rows * LANES * 4 <= VMEM_BUDGET  # 16-wide rows pad to 128 lanes
+
+
+def pallas_traversable(pack) -> bool:
+    """The packet kernel covers this scene: either the whole tree is VMEM-
+    resident or compile_scene built a streamed treelet layout."""
+    return bool(pack.treelets) or fits_vmem(pack)
 
 
 def _pad_rays(o, d):
@@ -56,32 +65,28 @@ def _pad_rays(o, d):
     return [prep(o[:, k]) for k in range(3)] + [prep(d[:, k]) for k in range(3)], n
 
 
-def _row(ref, idx):
-    """Dynamic row fetch -> tuple of 16 scalars."""
+def _row(ref, idx, upto: int = 16):
+    """Dynamic row fetch -> tuple of the first `upto` scalars."""
     r = ref[pl.ds(idx, 1), :]
-    return [r[0, j] for j in range(16)]
+    return [r[0, j] for j in range(upto)]
 
 
-def _tri_test(faces_ref, fidx, pox, poy, poz, pdx, pdy, pdz, side: int):
+def _tri_test(faces_ref, fidx, pox, poy, poz, pdx, pdy, pdz, inv_dlen,
+              side: int):
     """Vector triangle test of face row `fidx` against the tile.
 
     Mirrors IntersectTriangle (TriObj.cpp:68-189) incl. the grazing cull and
-    dominant-axis projected signed areas. Returns (t, front, ok)."""
-    f = _row(faces_ref, fidx)
+    dominant-axis projected signed areas. The face normal, n.v0, and 1/|n|
+    are per-face invariants precomputed into row slots 9:14 (scene/compile);
+    inv_dlen = 1/|d| is the per-ray invariant hoisted out by the caller.
+    Returns (t, front, ok)."""
+    f = _row(faces_ref, fidx, upto=14)
     v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = f[:9]
-
-    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-    nx = e1y * e2z - e1z * e2y
-    ny = e1z * e2x - e1x * e2z
-    nz = e1x * e2y - e1y * e2x
+    nx, ny, nz, ndot0, inv_nlen = f[9:14]
 
     tdiv = nx * pdx + ny * pdy + nz * pdz
-    nlen = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
-    dlen = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
-    pd = tdiv / jnp.maximum(nlen * dlen, 1e-30)
+    pd = tdiv * (inv_nlen * inv_dlen)
     ok = jnp.abs(pd) >= PERP_EPS
-    ndot0 = nx * v0x + ny * v0y + nz * v0z
     ndoto = nx * pox + ny * poy + nz * poz
     t = (ndot0 - ndoto) / jnp.where(tdiv == 0.0, 1e-30, tdiv)
     ok &= t > 0.0
@@ -144,10 +149,19 @@ def _closest_kernel(side: int, n_faces: int,
     idx = 1.0 / jnp.where(pdx == 0.0, 1e-30, pdx)
     idy = 1.0 / jnp.where(pdy == 0.0, 1e-30, pdy)
     idz = 1.0 / jnp.where(pdz == 0.0, 1e-30, pdz)
+    inv_dlen = jax.lax.rsqrt(
+        jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
+    # Majority direction sign per tile (tiles are octant-sorted, so the vote
+    # is unanimous except in boundary tiles): drives the near/far child pick
+    # as one scalar select per node instead of two masked min-reductions.
+    half = (SUBL * LANES) // 2
+    dneg_x = jnp.sum((pdx < 0.0).astype(jnp.int32)) > half
+    dneg_y = jnp.sum((pdy < 0.0).astype(jnp.int32)) > half
+    dneg_z = jnp.sum((pdz < 0.0).astype(jnp.int32)) > half
     root = root_ref[0]
 
     t0 = tinit[...]
-    root_row = _row(nodes, root)
+    root_row = _row(nodes, root, upto=8)
     _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, t0)
     stack[0] = root
     sp0 = jnp.where(jnp.any(root_hit), 1, 0)
@@ -159,7 +173,7 @@ def _closest_kernel(side: int, n_faces: int,
         sp, t_best, bface, bfront = c
         node = stack[sp - 1]
         sp = sp - 1
-        row = _row(nodes, node)
+        row = _row(nodes, node, upto=9)
         lft = row[6].astype(jnp.int32)
         cnt = row[7].astype(jnp.int32)
 
@@ -168,7 +182,7 @@ def _closest_kernel(side: int, n_faces: int,
             for k in range(LEAF_SIZE):
                 fidx = jnp.minimum(lft + k, n_faces - 1)
                 t, fr, ok = _tri_test(faces, fidx, pox, poy, poz,
-                                      pdx, pdy, pdz, side)
+                                      pdx, pdy, pdz, inv_dlen, side)
                 upd = ok & (t < tb) & (k < cnt)
                 tb = jnp.where(upd, t, tb)
                 bf = jnp.where(upd, fidx, bf)
@@ -177,19 +191,25 @@ def _closest_kernel(side: int, n_faces: int,
 
         def internal_fn(args):
             tb, bf, bfr, s = args
-            row1 = _row(nodes, lft)
-            row2 = _row(nodes, lft + 1)
-            t1, h1 = _box_test(row1, 0, pox, poy, poz, idx, idy, idz, tb)
-            t2, h2 = _box_test(row2, 0, pox, poy, poz, idx, idy, idz, tb)
+            row1 = _row(nodes, lft, upto=8)
+            row2 = _row(nodes, lft + 1, upto=8)
+            _, h1 = _box_test(row1, 0, pox, poy, poz, idx, idy, idz, tb)
+            _, h2 = _box_test(row2, 0, pox, poy, poz, idx, idy, idz, tb)
             h1a = jnp.any(h1)
             h2a = jnp.any(h2)
-            # Ordered descent by tile vote: nearer entry goes on top.
-            m1 = jnp.min(jnp.where(h1, t1, BIG))
-            m2 = jnp.min(jnp.where(h2, t2, BIG))
-            near = jnp.where(m1 <= m2, lft, lft + 1)
-            far = jnp.where(m1 <= m2, lft + 1, lft)
-            near_hit = jnp.where(m1 <= m2, h1a, h2a)
-            far_hit = jnp.where(m1 <= m2, h2a, h1a)
+            # Ordered descent by the tile's direction sign along the node's
+            # child-separation axis (row slot 8; +3 = left child on the
+            # high side). Near child goes on top of the stack.
+            code = row[8].astype(jnp.int32)
+            flip = code >= 3
+            ax = code - 3 * flip.astype(jnp.int32)
+            dneg = jnp.where(ax == 0, dneg_x, jnp.where(ax == 1, dneg_y,
+                                                        dneg_z))
+            near_is_left = dneg == flip  # ray toward low side -> high child far
+            near = jnp.where(near_is_left, lft, lft + 1)
+            far = jnp.where(near_is_left, lft + 1, lft)
+            near_hit = jnp.where(near_is_left, h1a, h2a)
+            far_hit = jnp.where(near_is_left, h2a, h1a)
             s1 = s + far_hit.astype(jnp.int32)
 
             @pl.when(far_hit)
@@ -224,9 +244,12 @@ def _coherence_order(pack, root, o, d, t_init):
     is beyond their current-best t) go last — their tiles early-exit at the
     kernel's root test — and live lanes group by (direction octant, coarse
     origin cell) so packet tiles stay coherent even for secondary rays
-    (incoherent tiles traverse the union of their rays' paths)."""
-    bmin = pack.pallas_nodes[root, 0:3]
-    bmax = pack.pallas_nodes[root, 3:6]
+    (incoherent tiles traverse the union of their rays' paths).
+
+    Reads the root box from the XLA-layout arrays (valid for both the
+    single-shot and the treelet-streamed pallas_nodes layouts)."""
+    bmin = pack.bvh_bmin[root]
+    bmax = pack.bvh_bmax[root]
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
     ta = (bmin[None, :] - o) * inv
     tb = (bmax[None, :] - o) * inv
@@ -247,31 +270,18 @@ def _coherence_order(pack, root, o, d, t_init):
     return jnp.argsort(key, stable=True)
 
 
-def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
-                       reorder: bool = True):
-    """Packet-traversal closest hit. o, d: (N,3) LOCAL rays; returns
-    (t, face, front) with t = BIG on miss. t_init (N,) seeds per-lane
-    pruning with the best hit found so far (analytic instances)."""
-    if t_init is None:
-        t_init = jnp.full((o.shape[0],), BIG)
-    if reorder:
-        order = _coherence_order(pack, root, o, d, t_init)
-        inv = inverse_permutation(order)
-        t, face, front = bvh_closest_pallas(
-            pack, root, o[order], d[order], hit_side, t_init[order],
-            reorder=False,
-        )
-        return t[inv], face[inv], front[inv]
+def _closest_call(nodes, faces, root: int, side: int, o, d, t_init):
+    """One pallas_call over the given node/face row tables (a whole tree or
+    one treelet slice). Returns (t, LOCAL face row, front i32)."""
     comps, n = _pad_rays(o, d)
     g = comps[0].shape[0]
-    side = {"front": 0, "back": 1, "both": 2}[hit_side]
     pad = g * LANES - n
     ti = (
         jnp.concatenate([t_init.astype(jnp.float32),
                          jnp.zeros((pad,), jnp.float32)])
         if pad else t_init.astype(jnp.float32)
     ).reshape(g, LANES)
-    kernel = functools.partial(_closest_kernel, side, int(pack.pallas_faces.shape[0]))
+    kernel = functools.partial(_closest_kernel, side, int(faces.shape[0]))
     ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -289,14 +299,53 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
         interpret=jax.default_backend() != "tpu",
     )(
         jnp.asarray([root], jnp.int32),
-        pack.pallas_nodes, pack.pallas_faces,
+        nodes, faces,
         *comps, ti,
     )
     return (
         t.reshape(-1)[:n],
         face.reshape(-1)[:n],
-        front.reshape(-1)[:n].astype(bool),
+        front.reshape(-1)[:n],
     )
+
+
+def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
+                       reorder: bool = True):
+    """Packet-traversal closest hit. o, d: (N,3) world rays; returns
+    (t, face, front) with t = BIG on miss. t_init (N,) seeds per-lane
+    pruning with the best hit found so far (analytic instances).
+
+    Scenes beyond the VMEM budget stream one treelet slice per kernel call
+    (pack.treelets); per-lane best-t carries across calls so later treelets
+    prune against earlier hits."""
+    if t_init is None:
+        t_init = jnp.full((o.shape[0],), BIG)
+    if reorder:
+        order = _coherence_order(pack, root, o, d, t_init)
+        inv = inverse_permutation(order)
+        t, face, front = bvh_closest_pallas(
+            pack, root, o[order], d[order], hit_side, t_init[order],
+            reorder=False,
+        )
+        return t[inv], face[inv], front[inv]
+    side = {"front": 0, "back": 1, "both": 2}[hit_side]
+    if pack.treelets:
+        t_best = t_init.astype(jnp.float32)
+        face = jnp.full(t_best.shape, -1, jnp.int32)
+        front = jnp.zeros(t_best.shape, jnp.int32)
+        for ns, ne, fs, fe in pack.treelets:
+            t, f_loc, fr = _closest_call(
+                pack.pallas_nodes[ns:ne], pack.pallas_faces[fs:fe],
+                0, side, o, d, t_best,
+            )
+            upd = t < t_best
+            t_best = jnp.where(upd, t, t_best)
+            face = jnp.where(upd, f_loc + fs, face)
+            front = jnp.where(upd, fr, front)
+        return t_best, face, front.astype(bool)
+    t, face, front = _closest_call(
+        pack.pallas_nodes, pack.pallas_faces, root, side, o, d, t_init)
+    return t, face, front.astype(bool)
 
 
 def _anyhit_kernel(n_faces: int, bias: float,
@@ -309,13 +358,15 @@ def _anyhit_kernel(n_faces: int, bias: float,
     idx = 1.0 / jnp.where(pdx == 0.0, 1e-30, pdx)
     idy = 1.0 / jnp.where(pdy == 0.0, 1e-30, pdy)
     idz = 1.0 / jnp.where(pdz == 0.0, 1e-30, pdz)
+    inv_dlen = jax.lax.rsqrt(
+        jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
     root = root_ref[0]
 
     # Prune box descent against the parametric shadow bound: boxes entered
     # beyond a lane's t_max cannot occlude it (shadow rays toward point
     # lights have t_max = 1, so this prunes hard). Occluded lanes drop out
     # of the vote via `live` below.
-    root_row = _row(nodes, root)
+    root_row = _row(nodes, root, upto=8)
     _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, tm)
     stack[0] = root
     sp0 = jnp.where(jnp.any(root_hit), 1, 0)
@@ -330,7 +381,7 @@ def _anyhit_kernel(n_faces: int, bias: float,
         sp, occ = c
         node = stack[sp - 1]
         sp = sp - 1
-        row = _row(nodes, node)
+        row = _row(nodes, node, upto=8)
         lft = row[6].astype(jnp.int32)
         cnt = row[7].astype(jnp.int32)
 
@@ -339,15 +390,15 @@ def _anyhit_kernel(n_faces: int, bias: float,
             for k in range(LEAF_SIZE):
                 fidx = jnp.minimum(lft + k, n_faces - 1)
                 t, fr, ok = _tri_test(faces, fidx, pox, poy, poz,
-                                      pdx, pdy, pdz, 0)  # front-only
+                                      pdx, pdy, pdz, inv_dlen, 0)  # front-only
                 hit = ok & (t > bias) & (t < tm) & (k < cnt)
                 o_ = jnp.maximum(o_, hit.astype(jnp.int32))
             return o_, s
 
         def internal_fn(args):
             o_, s = args
-            row1 = _row(nodes, lft)
-            row2 = _row(nodes, lft + 1)
+            row1 = _row(nodes, lft, upto=8)
+            row2 = _row(nodes, lft + 1, upto=8)
             _, h1 = _box_test(row1, 0, pox, poy, poz, idx, idy, idz, tm)
             _, h2 = _box_test(row2, 0, pox, poy, poz, idx, idy, idz, tm)
             live = o_ < 1
@@ -374,15 +425,7 @@ def _anyhit_kernel(n_faces: int, bias: float,
     occ_out[...] = occ
 
 
-def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = True):
-    if reorder:
-        tm = jnp.broadcast_to(t_max, (o.shape[0],))
-        order = _coherence_order(pack, root, o, d, tm)
-        inv = inverse_permutation(order)
-        occ = bvh_anyhit_pallas(
-            pack, root, o[order], d[order], t_min, tm[order], reorder=False
-        )
-        return occ[inv]
+def _anyhit_call(nodes, faces, root: int, t_min: float, o, d, t_max):
     comps, n = _pad_rays(o, d)
     g = comps[0].shape[0]
     tmax_full = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
@@ -391,7 +434,7 @@ def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = Tru
         jnp.concatenate([tmax_full, jnp.zeros((pad,), jnp.float32)])
         if pad else tmax_full
     ).reshape(g, LANES)
-    kernel = functools.partial(_anyhit_kernel, int(pack.pallas_faces.shape[0]), t_min)
+    kernel = functools.partial(_anyhit_kernel, int(faces.shape[0]), t_min)
     ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -405,7 +448,32 @@ def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = Tru
         interpret=jax.default_backend() != "tpu",
     )(
         jnp.asarray([root], jnp.int32),
-        pack.pallas_nodes, pack.pallas_faces,
+        nodes, faces,
         *comps, tmax_p,
     )
     return occ.reshape(-1)[:n].astype(bool)
+
+
+def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = True):
+    if reorder:
+        tm = jnp.broadcast_to(t_max, (o.shape[0],))
+        order = _coherence_order(pack, root, o, d, tm)
+        inv = inverse_permutation(order)
+        occ = bvh_anyhit_pallas(
+            pack, root, o[order], d[order], t_min, tm[order], reorder=False
+        )
+        return occ[inv]
+    if pack.treelets:
+        tm = jnp.broadcast_to(t_max, (o.shape[0],)).astype(jnp.float32)
+        occ = jnp.zeros(tm.shape, bool)
+        for ns, ne, fs, fe in pack.treelets:
+            # Already-occluded lanes carry t_max = 0 so the root test
+            # retires them instantly in later treelets.
+            tm_live = jnp.where(occ, 0.0, tm)
+            occ |= _anyhit_call(
+                pack.pallas_nodes[ns:ne], pack.pallas_faces[fs:fe],
+                0, t_min, o, d, tm_live,
+            )
+        return occ
+    return _anyhit_call(
+        pack.pallas_nodes, pack.pallas_faces, root, t_min, o, d, t_max)

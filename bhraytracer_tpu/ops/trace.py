@@ -316,9 +316,12 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
         # instance (no per-instance ray transform or sequential walk).
         use_pallas_bvh = False
         if _pallas_enabled():
-            from bhraytracer_tpu.ops.pallas_bvh import bvh_closest_pallas, fits_vmem
+            from bhraytracer_tpu.ops.pallas_bvh import (
+                bvh_closest_pallas,
+                pallas_traversable,
+            )
 
-            use_pallas_bvh = fits_vmem(pack)
+            use_pallas_bvh = pallas_traversable(pack)
         if use_pallas_bvh:
             t, face, front = bvh_closest_pallas(pack, 0, o, d, hit_side,
                                                 t_init=best_t)
@@ -397,9 +400,12 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
     if pack.n_msh:
         use_pallas_bvh = False
         if _pallas_enabled():
-            from bhraytracer_tpu.ops.pallas_bvh import bvh_anyhit_pallas, fits_vmem
+            from bhraytracer_tpu.ops.pallas_bvh import (
+                bvh_anyhit_pallas,
+                pallas_traversable,
+            )
 
-            use_pallas_bvh = fits_vmem(pack)
+            use_pallas_bvh = pallas_traversable(pack)
         # Lanes already occluded by analytic geometry carry t_max = 0 so the
         # t-bounded box pruning retires them at the root.
         tm_live = jnp.where(occ, 0.0, t_max)
@@ -416,7 +422,8 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
 # ---------------------------------------------------------------------------
 
 
-def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surface:
+def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False,
+                fast_rows: bool = False) -> Surface:
     """Recompute the surface interaction differentiably from discrete hit ids.
 
     dd_x/dd_y are the camera pixel deltas used (reference-faithfully, even
@@ -427,6 +434,15 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surf
     are skipped entirely, as is the ray-differential math when the scene has
     no texture maps to filter. `minimal=True` computes only p/n/z (the
     refraction chain's needs), skipping uv/duvw/material resolution.
+
+    `fast_rows=True` feeds the mesh branch from the packed (F,32)
+    pack.resolve_rows table — ONE row gather instead of 9 dependent pool
+    gathers (face_v -> verts x3, face_vn -> normals x3, face_vt -> uvs x3),
+    which XLA:TPU re-executes inside every consumer fusion. The row values
+    are bit-identical copies of the pool entries and all downstream math is
+    unchanged, so results are bit-exact; use only on non-differentiable
+    paths (rows are a compile-time constant — vertex gradients would stop
+    at the table instead of reaching pack.verts/pack.normals).
     """
     from bhraytracer_tpu.ops.linalg import safe_sqrt
 
@@ -518,8 +534,13 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surf
         ol = mat_vec(m_itm, o - lookup_rows(pack.msh_pos, mi))
         dl = mat_vec(m_itm, d)
         fi = jnp.clip(hit.face, 0, pack.face_v.shape[0] - 1)
-        vi = pack.face_v[fi]
-        v0, v1, v2 = pack.verts[vi[:, 0]], pack.verts[vi[:, 1]], pack.verts[vi[:, 2]]
+        if fast_rows:
+            rows = pack.resolve_rows[fi]  # (N,32): see pack.py field doc
+            v0, v1, v2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        else:
+            vi = pack.face_v[fi]
+            v0, v1, v2 = (pack.verts[vi[:, 0]], pack.verts[vi[:, 1]],
+                          pack.verts[vi[:, 2]])
         vn = cross(v1 - v0, v2 - v0)
         tdiv = dot(vn, dl)
         # Non-mesh/miss lanes run this branch with clipped junk ids; a
@@ -538,14 +559,21 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surf
         bc = jnp.stack([a0, a1, a2], -1) / jnp.where(
             jnp.abs(asum) < 1e-30, 1e-30, asum
         )[:, None]
-        ni = pack.face_vn[fi]
-        n_m = (
-            bc[:, 0:1] * pack.normals[ni[:, 0]]
-            + bc[:, 1:2] * pack.normals[ni[:, 1]]
-            + bc[:, 2:3] * pack.normals[ni[:, 2]]
-        )
+        if fast_rows:
+            n_m = (bc[:, 0:1] * rows[:, 9:12] + bc[:, 1:2] * rows[:, 12:15]
+                   + bc[:, 2:3] * rows[:, 15:18])
+        else:
+            ni = pack.face_vn[fi]
+            n_m = (
+                bc[:, 0:1] * pack.normals[ni[:, 0]]
+                + bc[:, 1:2] * pack.normals[ni[:, 1]]
+                + bc[:, 2:3] * pack.normals[ni[:, 2]]
+            )
         if minimal:
             uv_m = z3
+        elif fast_rows:
+            uv_m = (bc[:, 0:1] * rows[:, 18:21] + bc[:, 1:2] * rows[:, 21:24]
+                    + bc[:, 2:3] * rows[:, 24:27])
         else:
             ti = pack.face_vt[fi]
             uv_m = (
@@ -553,7 +581,9 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False) -> Surf
                 + bc[:, 1:2] * pack.uvs[ti[:, 1]]
                 + bc[:, 2:3] * pack.uvs[ti[:, 2]]
             )
-        mtl_m = jnp.where(pack.msh_mtl[mi] >= 0, pack.msh_mtl[mi], pack.face_mtl[fi])
+        fmtl = (rows[:, 27].astype(jnp.int32) if fast_rows
+                else pack.face_mtl[fi])
+        mtl_m = jnp.where(pack.msh_mtl[mi] >= 0, pack.msh_mtl[mi], fmtl)
         branches[KIND_MESH] = (t_m, p_m, n_m, uv_m, z3, z3, mtl_m,
                                lookup_rows(pack.msh_tm, mi), m_itm,
                                lookup_rows(pack.msh_pos, mi))

@@ -21,7 +21,8 @@ from bhraytracer_tpu.scene.pack import ScenePack
 _LIGHT_KIND = {"ambient": 0, "direct": 1, "point": 2}
 
 
-def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
+def compile_scene(sd: D.SceneDesc, leaf_size: int = 4,
+                  pallas_budget_rows: int | None = None) -> ScenePack:
     f32, i32 = np.float32, np.int32
 
     # ---------- materials ----------
@@ -193,11 +194,64 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
     pallas_nodes[:, 3:6] = bvh_bmax
     pallas_nodes[:, 6] = bvh_left.astype(f32)
     pallas_nodes[:, 7] = bvh_count.astype(f32)
+    # Slot 8: ordered-descent code for internal nodes. The packet kernel
+    # picks the near child from the tile's direction sign along the axis
+    # that best separates the two child boxes (code = axis + 3 if the LEFT
+    # child sits on the HIGH side) — a scalar select instead of two
+    # full-tile masked min-reductions per node.
+    internal = bvh_count == 0
+    if internal.any():
+        li = bvh_left[internal]
+        c_l = 0.5 * (bvh_bmin[li] + bvh_bmax[li])
+        c_r = 0.5 * (bvh_bmin[li + 1] + bvh_bmax[li + 1])
+        diff = c_r - c_l
+        axis = np.argmax(np.abs(diff), axis=1)
+        flip = diff[np.arange(diff.shape[0]), axis] < 0.0
+        pallas_nodes[internal, 8] = (axis + 3 * flip).astype(f32)
     nf_all = face_v.shape[0]
     pallas_faces = np.zeros((nf_all, 16), f32)
     pallas_faces[:, 0:3] = wtri_v0
     pallas_faces[:, 3:6] = wtri_v1
     pallas_faces[:, 6:9] = wtri_v2
+    # Slots 9:14: precomputed plane constants so the per-face vector test
+    # skips the cross product, |n|, and n.v0 (IntersectTriangle recomputes
+    # them per ray, TriObj.cpp:82-99; here they are per-face invariants).
+    fn_ = np.cross(wtri_v1 - wtri_v0, wtri_v2 - wtri_v0).astype(f32)
+    pallas_faces[:, 9:12] = fn_
+    pallas_faces[:, 12] = np.einsum("ij,ij->i", fn_, wtri_v0).astype(f32)
+    nlen = np.sqrt(np.maximum((fn_ * fn_).sum(1), 1e-30))
+    pallas_faces[:, 13] = (1.0 / nlen).astype(f32)
+
+    # Per-face resolve rows: every LOCAL-frame quantity resolve_hit's mesh
+    # branch needs, packed so one (F,32) row gather replaces its 9 dependent
+    # gathers (face_v -> verts x3, face_vn -> normals x3, face_vt -> uvs x3).
+    # Values are bit-identical copies of those pool lookups; the non-
+    # differentiable render path reads rows, the AD path keeps the pool
+    # gathers so vertex/normal gradients reach pack.verts/pack.normals.
+    resolve_rows = np.zeros((nf_all, 32), f32)
+    if msh:
+        vt3 = verts[face_v]  # (F,3,3)
+        nt3 = normals[face_vn]
+        ut3 = uvs[face_vt]
+        resolve_rows[:, 0:9] = vt3.reshape(nf_all, 9)
+        resolve_rows[:, 9:18] = nt3.reshape(nf_all, 9)
+        resolve_rows[:, 18:27] = ut3.reshape(nf_all, 9)
+        resolve_rows[:, 27] = face_mtl.astype(f32)
+
+    # Streamed-traversal treelets when the row tables exceed the packet
+    # kernel's VMEM budget (each 16-wide row pads to 128 lanes physically).
+    treelets = ()
+    if msh:
+        from bhraytracer_tpu.accel.bvh import build_treelet_layout
+        from bhraytracer_tpu.ops.pallas_bvh import LANES, TREELET_BUDGET_ROWS, VMEM_BUDGET
+
+        budget = (pallas_budget_rows if pallas_budget_rows is not None
+                  else VMEM_BUDGET // (LANES * 4))
+        if nb + nf_all > budget:
+            per_treelet = (pallas_budget_rows if pallas_budget_rows is not None
+                           else TREELET_BUDGET_ROWS)
+            treelets, pallas_nodes = build_treelet_layout(
+                bvh_left, bvh_count, pallas_nodes, per_treelet)
 
     if msh:
         msh_itm = np.stack([r[0] for r in msh])
@@ -269,6 +323,7 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
         bvh_count=bvh_count,
         wtri_v0=wtri_v0, wtri_v1=wtri_v1, wtri_v2=wtri_v2,
         pallas_nodes=pallas_nodes, pallas_faces=pallas_faces,
+        resolve_rows=resolve_rows,
         **{k: v for k, v in mtl.items()},
         tm_tex=tm_tex, tm_itm=tm_itm, tm_pos=tm_pos,
         tex_kind=tex_kind, tex_c1=tex_c1, tex_c2=tex_c2, tex_wh=tex_wh,
@@ -282,7 +337,7 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4) -> ScenePack:
         bvh_depth=bvh_depth,
         n_sph=len(sph), n_pln=len(pln), n_msh=len(msh),
         n_lights=len(lights), has_file_tex=has_file_tex,
-        n_texmaps=len(texmaps),
+        n_texmaps=len(texmaps), treelets=treelets,
     )
     # Host numpy -> device jnp.
     import jax

