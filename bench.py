@@ -223,6 +223,63 @@ def _full_1024(spp: int = 1):
             "segments": segments}
 
 
+def _fwd_bwd_1024():
+    """BASELINE.json inverse-render config: fwd+bwd at 1024x1024, one chip.
+
+    Chunked value_and_grad of an image-MSE loss w.r.t. the trainable scene
+    parameters through the monolithic differentiable path with per-level
+    remat (the path the inverse-rendering demo and test_gradients use).
+    Rays/s counts each camera ray once; every ray pays forward AND backward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bhraytracer_tpu.config import RenderConfig
+    from bhraytracer_tpu.models.pathtracer import _render_chunk
+    from bhraytracer_tpu.ops.camera import from_scene_camera
+    from bhraytracer_tpu.parallel.sharding import _apply_params, trainable_params
+
+    pack, cam = _bench_scene()
+    cam.width, cam.height = 1024, 1024
+    cfg = RenderConfig(spp=1, gi_bounces=3, extra_refr_levels=2,
+                       tir_bounces=16, chunk_rays=65536,
+                       texture_sample_count=1, refr_capacity=0.08,
+                       differentiable=True, remat_levels=True)
+    cam_p = from_scene_camera(cam)
+    n = cfg.chunk_rays
+    total = cam.width * cam.height
+    key = jax.random.PRNGKey(0)
+    params = trainable_params(pack, cam_p)
+
+    @jax.jit
+    def step(p, px, py, ck, target):
+        def loss_fn(p_):
+            pk, cm = _apply_params(pack, cam_p, p_)
+            rad, _, _ = _render_chunk(pk, cfg, cm, cam.width, cam.height,
+                                      px, py, ck)
+            return jnp.mean((rad - target) ** 2)
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    def chunk_inputs(start):
+        idx = np.minimum(np.arange(start, start + n), total - 1)
+        px = jnp.asarray(idx % cam.width, jnp.int32)
+        py = jnp.asarray(idx // cam.width, jnp.int32)
+        ck = jax.random.fold_in(key, start)
+        return px, py, ck, jnp.zeros((n, 3))
+
+    jax.block_until_ready(step(params, *chunk_inputs(0)))  # compile
+    t0 = time.perf_counter()
+    outs = []
+    for start in range(0, total, n):
+        outs.append(step(params, *chunk_inputs(start)))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return {"wall_s": round(dt, 3),
+            "fwd_bwd_rays_per_sec": round(total / dt)}
+
+
 def _scaling_curve():
     """Rays/s over a VIRTUAL 8-device CPU mesh (hardware multi-chip is not
     available in this environment; this validates the dp sharding adds no
@@ -288,6 +345,30 @@ print("SCALING " + json.dumps(out))
     raise RuntimeError(f"scaling subprocess failed: {r.stderr[-2000:]}")
 
 
+def _backend_or_cpu_fallback(probe_timeout_s: int = 420) -> str | None:
+    """Guard against a dead axon tunnel: backend init BLOCKS forever (retry
+    nanosleep loop) when the TPU is unreachable, which would hang the whole
+    bench. Probe device init in a SUBPROCESS with a timeout; on failure,
+    force CPU so the driver still gets its one JSON line (marked)."""
+    import subprocess
+    import sys
+
+    import jax
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=probe_timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return None
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print("WARNING: device backend init unavailable (axon tunnel down?); "
+              "falling back to CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu-fallback"
+
+
 def main():
     import argparse
 
@@ -296,6 +377,8 @@ def main():
                     help="also run the 1024x1024 BASELINE config and the "
                          "virtual-mesh scaling curve")
     args = ap.parse_args()
+
+    fallback = _backend_or_cpu_fallback()
 
     from bhraytracer_tpu.utils.cache import enable_compilation_cache
 
@@ -308,9 +391,17 @@ def main():
         "unit": "segments/s",
         "vs_baseline": round(segs_per_sec / BASELINE_SEGMENTS_PER_SEC, 3),
     }
+    if fallback:
+        line["device_note"] = (
+            "TPU backend init timed out; measured on CPU fallback — NOT a "
+            "TPU number")
 
     if args.full:
         full = {"fwd_1024x1024": _full_1024()}
+        try:
+            full["fwd_bwd_1024x1024"] = _fwd_bwd_1024()
+        except Exception as e:  # pragma: no cover
+            full["fwd_bwd_error"] = str(e)[:500]
         try:
             full["scaling_virtual_cpu_mesh"] = _scaling_curve()
             full["scaling_note"] = (

@@ -18,6 +18,15 @@ import sys
 
 import numpy as np
 
+# Asset generation is pure numpy + the project PNG writer, but importing
+# bhraytracer_tpu (for write_png) initializes JAX — and this host pins
+# JAX_PLATFORMS=axon, whose backend init BLOCKS retrying the tunnel when the
+# TPU is unreachable. Tests spawn this tool as a subprocess (no conftest), so
+# force CPU before any bhraytracer_tpu import or the whole suite hangs.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def revolve(profile, n_seg: int = 64):
     """Surface of revolution around +z from an (M,2) (r, z) profile.
