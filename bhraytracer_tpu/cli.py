@@ -48,6 +48,13 @@ def _add_render_args(p):
     p.add_argument("--probe", type=int, nargs=2, metavar=("X", "Y"), default=None,
                    help="print color + z at a pixel (viewport click inspector)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--progressive", type=int, metavar="PASSES", default=0,
+                   help="render in PASSES progressive passes, rewriting the "
+                        "output PNG with the running mean after each one — "
+                        "the headless stand-in for the reference viewport's "
+                        "live in-progress view (viewport.cpp:354-366). The "
+                        "final image draws exactly the same samples as a "
+                        "single-pass render")
     p.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint render state per chunk; re-running with "
                         "the same args resumes (killed renders lose nothing)")
@@ -55,6 +62,66 @@ def _add_render_args(p):
                    help="capture a jax.profiler trace of the render "
                         "(experimental: hangs under tunneled-TPU "
                         "environments; use on standard JAX installs)")
+
+
+def _render_progressive(args, pack, cam, cfg, photon_map,
+                        image_to_u8, render_image, write_png):
+    """Progressive preview: K passes over the sample budget, rewriting the
+    output PNG with the running mean after each. sample_offset keeps the
+    union of the passes' RNG streams identical to a single-pass render, so
+    the final image converges to exactly the non-progressive result."""
+    import dataclasses
+
+    import numpy as np
+
+    passes = min(args.progressive, cfg.spp)
+    m = cfg.spp // passes
+    sizes = [m + (1 if j < cfg.spp % passes else 0) for j in range(passes)]
+    accum = None
+    aux = None
+    spp_done = 0
+    off = 0
+    t0 = time.time()
+    for j, mj in enumerate(sizes):
+        cfg_pass = dataclasses.replace(cfg, spp=mj, use_gamma=False,
+                                       use_denoiser=False)
+        out = render_image(pack, cam, cfg_pass, seed=args.seed,
+                           photon_map=photon_map, return_aux=True,
+                           sample_offset=off)
+        img_j, aux_j = out
+        if accum is None:
+            accum = img_j * mj
+            aux = aux_j
+        else:
+            accum += img_j * mj
+            for k in aux["dropped_lanes"]:
+                aux["dropped_lanes"][k] += aux_j["dropped_lanes"][k]
+            aux["traced_segments"] += aux_j["traced_segments"]
+            aux["sample_count"] = aux["sample_count"] + aux_j["sample_count"]
+        spp_done += mj
+        off += mj
+        preview = accum / spp_done
+        if cfg.use_gamma:
+            preview = np.power(np.maximum(preview, 0.0), 1.0 / cfg.gamma)
+        write_png(args.output, image_to_u8(preview))
+        print(f"pass {j + 1}/{passes}: {spp_done}/{cfg.spp} spp in "
+              f"{time.time() - t0:.1f}s -> {args.output}")
+    img = accum / cfg.spp
+    if cfg.use_gamma:
+        img = np.power(np.maximum(img, 0.0), 1.0 / cfg.gamma)
+    if cfg.use_denoiser:
+        import jax.numpy as jnp
+
+        from bhraytracer_tpu.models.denoiser import denoise, load_pretrained
+
+        model, dparams = load_pretrained()
+        aux_ch = None
+        if getattr(model, "aux_channels", 0) > 0:
+            aux_ch = jnp.asarray(np.concatenate(
+                [aux["albedo"], aux["normal"]], -1), jnp.float32)
+        img = np.asarray(denoise(model, dparams,
+                                 jnp.asarray(img, jnp.float32), aux=aux_ch))
+    return img, aux
 
 
 def cmd_render(args) -> int:
@@ -106,7 +173,13 @@ def cmd_render(args) -> int:
             print(f"wrote {args.save_photons}")
 
     t0 = time.time()
-    if args.profile:
+    if args.progressive and args.progressive > 1:
+        if args.checkpoint:
+            print("--progressive is incompatible with --checkpoint")
+            return 2
+        img, aux = _render_progressive(args, pack, cam, cfg, photon_map,
+                                       image_to_u8, render_image, write_png)
+    elif args.profile:
         import jax
 
         with jax.profiler.trace(args.profile):

@@ -60,7 +60,11 @@ from bhraytracer_tpu.ops.texturing import (
 )
 from bhraytracer_tpu.ops.trace import Surface, resolve_hit, trace_closest, trace_shadow
 
-NAN_PURPLE = jnp.array([1.0, 0.0, 1.0])  # Color::NANPurple (cyColor.h:130)
+# numpy (NOT jnp) module constants: a jnp.array at import time initializes
+# the device backend, which BLOCKS forever under a dead axon tunnel before
+# the CLI can even parse --cpu. As numpy operands they fold into traced
+# programs as constants identically.
+NAN_PURPLE = np.array([1.0, 0.0, 1.0], np.float32)  # Color::NANPurple (cyColor.h:130)
 
 
 def _clamp_white(c):
@@ -542,8 +546,8 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
 # ---------------------------------------------------------------------------
 
 
-_MISS_O = jnp.array([1.0e8, 1.0e8, 1.0e8])
-_MISS_D = jnp.array([0.0, 0.0, 1.0])
+_MISS_O = np.array([1.0e8, 1.0e8, 1.0e8], np.float32)
+_MISS_D = np.array([0.0, 0.0, 1.0], np.float32)
 
 
 def _shade_level(
@@ -944,13 +948,19 @@ def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
 
 def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0,
                  photon_map=None, denoiser=None, return_aux: bool = False,
-                 checkpoint_dir=None):
+                 checkpoint_dir=None, sample_offset: int = 0):
     """Render a full image: returns (H, W, 3) float32 in [0,1] after the
     reference's gamma (Main.cpp:216-231). `camera` is a scene-desc Camera.
 
     With cfg.use_photon_map, a caustic photon map is built first (or pass a
     prebuilt PhotonMapPack) — the BeginRender preprocessing pass
-    (Main.cpp:195-198)."""
+    (Main.cpp:195-198).
+
+    `sample_offset` shifts the per-sample RNG stream index: a progressive
+    render of K passes with cfg.spp = spp/K and offsets 0, spp/K, 2*spp/K...
+    draws exactly the samples a single spp-sample run would (the CLI's
+    --progressive preview, the headless stand-in for the reference
+    viewport's live in-progress image)."""
     if cfg.use_photon_map and photon_map is None:
         from bhraytracer_tpu.models.photonmap import build_photon_map
 
@@ -1006,7 +1016,8 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
             st_acc = None
             aux_d = None
             for s in range(spp):
-                ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
+                ck = jax.random.fold_in(
+                    jax.random.fold_in(key, s + sample_offset), start)
                 out = render_chunk_staged(
                     pack, cfg_run, cam, width, height, px, py, ck, photon_map,
                     acc_d, z_d, s == 0, want_aux=(want_aux and s == 0),
