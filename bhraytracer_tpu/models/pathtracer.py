@@ -563,31 +563,58 @@ def _shade_level(
         d=jnp.where(act, tasks.d, _MISS_D),
     )
     hit = trace_closest(pack, tasks.o, tasks.d, "front")
-    surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y,
-                       fast_rows=not cfg.differentiable)
     shade = tasks.active & hit.hit
-
-    mtl = _fetch_mtl(pack, surf.mtl)
-    vn = surf.n
-    vv = normalize(tasks.o - surf.p)
-    cos_phi1 = jnp.clip(dot(vn, vv), 0.0, 1.0)
-
-    # Schlick Fresnel folded into the specular color (MtlBlinn.cpp:107-114).
-    r0_base = (1.0 - mtl.ior) / (1.0 + mtl.ior)
-    r0 = r0_base * r0_base
-    fres = r0 + (1.0 - r0) * safe_pow(1.0 - cos_phi1, 5.0)
-    new_spec_color = _clamp_white(mtl.specular + fres[:, None] * mtl.refraction)
-    refr_eff = (1.0 - fres)[:, None] * mtl.refraction
 
     # --- per-level uniforms in ONE threefry call (30 scattered
     # fold_in+uniform calls were a measurable cost) ---
     u_tab = jax.random.uniform(jax.random.fold_in(key, 1), (n, 13))
 
-    # --- direct light ---
-    direct, n_shadow = _direct_light(
-        pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8], shade,
-        pmap=pmap,
-    )
+    from bhraytracer_tpu.ops.trace import _pallas_enabled
+    from bhraytracer_tpu.ops.pallas_shade import shade_setup, shade_setup_supported
+
+    use_fused = _pallas_enabled() and shade_setup_supported(pack, cfg, pmap)
+    if use_fused:
+        # Fused shade-setup kernel: resolve + Fresnel + light sampling +
+        # BRDF + GI lobe in one VMEM pass (ops/pallas_shade.py); only the
+        # shadow trace and its visibility fold stay outside.
+        fo = shade_setup(pack, cfg, tasks.o, tasks.d, hit, shade, u_tab)
+        surf = Surface(p=fo.p, n=fo.n, uvw=jnp.zeros((n, 3)),
+                       duvw=jnp.zeros((n, 2, 3)), mtl=fo.mtl, z=fo.z,
+                       front=hit.front)
+        vn, cos_phi1, refr_eff = fo.n, fo.cos_phi1, fo.refr_eff
+        occ = trace_shadow(pack, fo.shadow_o, fo.shadow_d, fo.shadow_tmax,
+                           cfg.shadow_bias,
+                           plane_extent_bug=cfg.parity_plane_shadow_bug)
+        vis = jnp.where(occ & fo.gate, 0.0, 1.0)
+        # The point-light r^2 == 0 branch returns BIG regardless of
+        # visibility (_illuminate's where order).
+        irr = fo.irr * jnp.where(fo.rr0, 1.0, vis)[:, None]
+        direct = jnp.where((fo.cos_theta > 0.0)[:, None],
+                           irr * fo.brdf_cos, 0.0)
+        direct = _clamp_white(direct)
+        direct = jnp.where(jnp.isnan(direct[:, 0:1]), 0.0, direct)
+        n_shadow = jnp.sum(fo.gate).astype(jnp.int32)
+    else:
+        surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y,
+                           fast_rows=not cfg.differentiable)
+
+        mtl = _fetch_mtl(pack, surf.mtl)
+        vn = surf.n
+        vv = normalize(tasks.o - surf.p)
+        cos_phi1 = jnp.clip(dot(vn, vv), 0.0, 1.0)
+
+        # Schlick Fresnel into the specular color (MtlBlinn.cpp:107-114).
+        r0_base = (1.0 - mtl.ior) / (1.0 + mtl.ior)
+        r0 = r0_base * r0_base
+        fres = r0 + (1.0 - r0) * safe_pow(1.0 - cos_phi1, 5.0)
+        new_spec_color = _clamp_white(mtl.specular + fres[:, None] * mtl.refraction)
+        refr_eff = (1.0 - fres)[:, None] * mtl.refraction
+
+        # --- direct light ---
+        direct, n_shadow = _direct_light(
+            pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8], shade,
+            pmap=pmap,
+        )
 
     # --- refraction chain on COMPACTED refractive lanes ---
     # The recursive reference expands every refractive hit; here candidates
@@ -602,10 +629,17 @@ def _shade_level(
     def g(x):
         return x[sel]
 
-    mtl_k = Mtl(*[g(f) for f in mtl])
     surf_k = Surface(*[g(f) for f in surf])
+    if use_fused:
+        # The kernel already consumed the full-width material row; the chain
+        # re-fetches it at K width (same table, same ids).
+        mtl_k = _fetch_mtl(pack, surf_k.mtl)
+        vv_k = normalize(g(tasks.o) - surf_k.p)
+    else:
+        mtl_k = Mtl(*[g(f) for f in mtl])
+        vv_k = g(vv)
     case, ro, rd, bounce_left, drop_tir, chain_segs = _refraction_chain(
-        pack, cfg, surf_k, mtl_k, g(vn), g(vv), g(cos_phi1), g(refr_eff),
+        pack, cfg, surf_k, mtl_k, g(vn), vv_k, g(cos_phi1), g(refr_eff),
         sel_valid, g(tasks.bounce), jax.random.fold_in(key, 2),
     )
     drop_refr = (jnp.sum(chain_cand) - jnp.sum(sel_valid)).astype(jnp.int32)
@@ -627,9 +661,16 @@ def _shade_level(
     gi_on = cfg.gi_active(level)
     drop_gi = jnp.zeros((), jnp.int32)
     if gi_on:
-        gi_o, gi_d, gi_albedo, gi_env = _gi_sample(
-            pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, 8:13]
-        )
+        if use_fused:
+            gi_o, gi_d, gi_albedo = fo.gi_o, fo.gi_d, fo.gi_albedo
+            env, env_valid = sample_environment(pack, gi_d)
+            gi_env = jnp.where(env_valid[:, None], env * gi_albedo, 0.0)
+            degen = (gi_d[:, 0] == gi_d[:, 1]) & (gi_d[:, 0] == 0.0)
+            gi_env = jnp.where(degen[:, None], NAN_PURPLE, gi_env)
+        else:
+            gi_o, gi_d, gi_albedo, gi_env = _gi_sample(
+                pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, 8:13]
+            )
         g_cap = cfg.gi_cap(n)
         if g_cap < n:
             # Compact live GI children (shade lanes) into g_cap slots, like
