@@ -223,15 +223,16 @@ def _full_1024(spp: int = 1):
             "segments": segments}
 
 
-def _fwd_bwd_1024():
+def _fwd_bwd_1024(width: int = 1024, height: int = 1024,
+                  chunk: int = 65536):
     """BASELINE.json inverse-render config: fwd+bwd at 1024x1024, one chip.
 
     Chunked value_and_grad of an image-MSE loss w.r.t. the trainable scene
     parameters through the monolithic differentiable path with per-level
     remat (the path the inverse-rendering demo and test_gradients use).
-    Rays/s counts each camera ray once; every ray pays forward AND backward."""
-    import dataclasses
-
+    Rays/s counts each camera ray once; every ray pays forward AND backward.
+    width/height/chunk are overridable so the path can be smoke-tested at
+    small scale on CPU."""
     import jax
     import jax.numpy as jnp
 
@@ -241,9 +242,9 @@ def _fwd_bwd_1024():
     from bhraytracer_tpu.parallel.sharding import _apply_params, trainable_params
 
     pack, cam = _bench_scene()
-    cam.width, cam.height = 1024, 1024
+    cam.width, cam.height = width, height
     cfg = RenderConfig(spp=1, gi_bounces=3, extra_refr_levels=2,
-                       tir_bounces=16, chunk_rays=65536,
+                       tir_bounces=16, chunk_rays=chunk,
                        texture_sample_count=1, refr_capacity=0.08,
                        differentiable=True, remat_levels=True)
     cam_p = from_scene_camera(cam)
