@@ -152,6 +152,14 @@ def _headline(iters: int = 10):
     )
     cam_p = from_scene_camera(cam)
 
+    if jax.default_backend() == "tpu":
+        # The fused shade kernel is probed with a tiny compile first: if
+        # Mosaic rejects it on this hardware, the render falls back to the
+        # XLA shading path instead of failing the whole bench.
+        from bhraytracer_tpu.ops.pallas_shade import probe_shade_kernel
+
+        probe_shade_kernel(pack, cfg)
+
     n = cfg.chunk_rays
     idx = np.arange(n)
     px = jnp.asarray(idx % cam.width, jnp.int32)

@@ -157,6 +157,15 @@ def cmd_render(args) -> int:
         use_photon_map=args.photon_map,
         photon_count=args.photon_count,
     )
+    import jax
+
+    if jax.default_backend() == "tpu":
+        # Probe-compile the fused shade kernel; on a Mosaic failure the
+        # switch flips off and rendering uses the XLA shading path.
+        from bhraytracer_tpu.ops.pallas_shade import probe_shade_kernel
+
+        probe_shade_kernel(pack, cfg)
+
     photon_map = None
     if args.photon_map:
         from bhraytracer_tpu.models.photonmap import build_photon_map

@@ -476,15 +476,57 @@ def shade_tables(pack):
     return inst, mtl_rows, light_rows
 
 
+# Kill switch ("auto" | "off"): the kernel is new on real Mosaic; callers
+# that must survive a lowering failure (bench.py) probe-compile it first
+# and flip this off on failure.
+_SHADE_KERNEL_MODE = "auto"
+
+
+def set_shade_kernel(mode: str) -> None:
+    global _SHADE_KERNEL_MODE
+    assert mode in ("auto", "off")
+    _SHADE_KERNEL_MODE = mode
+
+
 def shade_setup_supported(pack, cfg, pmap) -> bool:
     """Fusion gate: no texture maps (uv/duvw paths unused), no photon
     gather, small tables, non-differentiable render."""
     n_inst = pack.n_sph + pack.n_pln + pack.n_msh
-    return (pack.n_texmaps == 0 and pmap is None
+    return (_SHADE_KERNEL_MODE == "auto"
+            and pack.n_texmaps == 0 and pmap is None
             and not cfg.differentiable
             and 0 < n_inst <= MAX_INST
             and pack.mtl_gloss.shape[0] <= MAX_MTL
             and 0 < pack.n_lights <= MAX_LIGHTS)
+
+
+def probe_shade_kernel(pack, cfg) -> bool:
+    """Compile + run the kernel on 8 lanes; on ANY failure (e.g. a Mosaic
+    lowering gap on real TPU) flip the kill switch off and return False so
+    the XLA shading path serves instead. Cheap on CPU (interpret mode);
+    one small kernel compile on TPU."""
+    import numpy as np
+
+    from bhraytracer_tpu.ops.trace import trace_closest
+
+    if not shade_setup_supported(pack, cfg, None):
+        return False
+    try:
+        n = 8
+        o = jnp.asarray(np.tile([[0.0, -8.0, 3.0]], (n, 1)), jnp.float32)
+        d = jnp.asarray(np.tile([[0.0, 1.0, -0.2]], (n, 1)), jnp.float32)
+        hit = trace_closest(pack, o, d, "front")
+        u = jnp.zeros((n, 13), jnp.float32) + 0.5
+        out = shade_setup(pack, cfg, o, d, hit, hit.hit, u)
+        jax.block_until_ready(out.p)
+        return True
+    except Exception as e:  # pragma: no cover - exercised on real TPU only
+        import sys
+
+        print(f"WARNING: shade kernel unavailable ({type(e).__name__}); "
+              "using the XLA shading path", file=sys.stderr)
+        set_shade_kernel("off")
+        return False
 
 
 def _stack_pad(cols, n):
