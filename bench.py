@@ -289,6 +289,43 @@ def _fwd_bwd_1024(width: int = 1024, height: int = 1024,
             "fwd_bwd_rays_per_sec": round(total / dt)}
 
 
+def _proj11_walltime(spp: int = 16):
+    """Apples-to-apples wall-time against BASELINE.md's proj11_0 row: the
+    reference rendered proj11_0 (teapot room, 800x600) at 16 spp AA in 27 s
+    on its 16-thread CPU. Same scene (stand-in meshes), same spp, full
+    image, wall-clock including chunk orchestration (compiles excluded via
+    a one-chunk warmup)."""
+    import os
+
+    import jax
+
+    from bhraytracer_tpu.config import RenderConfig
+    from bhraytracer_tpu.models.pathtracer import render_image
+    from bhraytracer_tpu.scene.xml_loader import load_scene
+
+    scene = "/root/reference/BHRayTracer/Resource/Data/proj11_0.xml"
+    if not os.path.exists(scene):
+        return {"skipped": "reference checkout unavailable"}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pack, cam = load_scene(scene, resource_root=os.path.join(repo, "assets"))
+    cam.width, cam.height = 800, 600
+    # proj11 predates the path-tracing projects: Blinn + shadows, no GI.
+    cfg = RenderConfig(spp=spp, gi_bounces=0, extra_refr_levels=0,
+                       tir_bounces=16, chunk_rays=65536,
+                       texture_sample_count=1)
+    img = render_image(pack, cam, cfg, seed=0)  # warmup: compiles all stages
+    t0 = time.perf_counter()
+    img = render_image(pack, cam, cfg, seed=1)
+    dt = time.perf_counter() - t0
+    return {"wall_s": round(dt, 3), "reference_wall_s": 27.0,
+            "speedup_vs_reference": round(27.0 / dt, 2),
+            "spp": spp, "note": "stand-in meshes (reference OBJs not in checkout)"}
+
+
 def _scaling_curve():
     """Rays/s over a VIRTUAL 8-device CPU mesh (hardware multi-chip is not
     available in this environment; this validates the dp sharding adds no
@@ -411,6 +448,10 @@ def main():
             full["fwd_bwd_1024x1024"] = _fwd_bwd_1024()
         except Exception as e:  # pragma: no cover
             full["fwd_bwd_error"] = str(e)[:500]
+        try:
+            full["proj11_0_walltime"] = _proj11_walltime()
+        except Exception as e:  # pragma: no cover
+            full["proj11_error"] = str(e)[:500]
         try:
             full["scaling_virtual_cpu_mesh"] = _scaling_curve()
             full["scaling_note"] = (
