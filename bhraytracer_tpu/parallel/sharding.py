@@ -173,20 +173,30 @@ def render_image_distributed(pack, camera, cfg: RenderConfig, mesh: Mesh,
 
     key = jrandom.PRNGKey(seed)
     accum = np.zeros((total, 3), np.float32)
-    for s in range(cfg.spp):
-        for start in range(0, total, chunk):
-            stop = min(start + chunk, total)
-            count = stop - start
-            pad = (-count) % ndev
-            idx = np.concatenate([np.arange(start, stop),
-                                  np.full(pad, start, np.int64)])
-            px = jnp.asarray(idx % width, jnp.int32)
-            py = jnp.asarray(idx // width, jnp.int32)
+    # Samples accumulate ON DEVICE (sharded, no comm — elementwise add on
+    # dp-sharded lanes) and each chunk is fetched host-side ONCE, after all
+    # dispatches are queued: spp x chunks host round-trips -> chunks async
+    # fetches. Same addition order per pixel as the sample loop, so the
+    # image is bit-identical to the per-sample-fetch version.
+    parts = []
+    for start in range(0, total, chunk):
+        stop = min(start + chunk, total)
+        count = stop - start
+        pad = (-count) % ndev
+        idx = np.concatenate([np.arange(start, stop),
+                              np.full(pad, start, np.int64)])
+        px = jnp.asarray(idx % width, jnp.int32)
+        py = jnp.asarray(idx // width, jnp.int32)
+        acc_d = None
+        for s in range(cfg.spp):
             ck = jrandom.fold_in(jrandom.fold_in(key, s), start)
             rad = render_radiance_sharded(
                 pack, cfg, cam_p, width, height, px, py, ck, mesh
             )
-            accum[start:stop] += np.asarray(rad)[:count]
+            acc_d = rad if acc_d is None else acc_d + rad
+        parts.append((start, stop, count, acc_d))
+    for start, stop, count, acc_d in parts:
+        accum[start:stop] = np.asarray(acc_d)[:count]
 
     img = accum / cfg.spp
     if cfg.use_gamma:
