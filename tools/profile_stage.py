@@ -126,6 +126,17 @@ def main():
     rep("resolve_hit", timeit(rh, tasks.o, tasks.d, hit))
     surf = rh(tasks.o, tasks.d, hit)
 
+    # --- fused shade-setup kernel (replaces resolve+fresnel+lights+GI on
+    # qualifying scenes; ops/pallas_shade.py) ---
+    from bhraytracer_tpu.ops.pallas_shade import shade_setup, shade_setup_supported
+
+    u_tab0 = jax.random.uniform(lkey, (n_lvl, 13))
+    if shade_setup_supported(pack, cfg, None):
+        ss = jax.jit(lambda o_, d_, h, u_: shade_setup(
+            pack, cfg, o_, d_, h, tasks.active & h.hit, u_))
+        rep("shade_setup (fused kernel)", timeit(ss, tasks.o, tasks.d, hit,
+                                                 u_tab0))
+
     # --- trace_shadow (point-light style rays from the surface) ---
     sh_d = pack.light_vec[0][None, :] - surf.p
     ts = jax.jit(lambda o_, d_: trace_shadow(pack, o_, d_, 1.0, cfg.shadow_bias))
