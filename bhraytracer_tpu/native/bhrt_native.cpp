@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdio>
 #include <vector>
+#include <string>
 #include <algorithm>
 
 extern "C" {
@@ -198,5 +199,143 @@ int64_t bhrt_bvh_build(const float* verts, const int32_t* faces, int64_t nf,
   *out_depth = c.depth;
   return c.n_nodes;
 }
+
+// ---------------------------------------------------------------------------
+// OBJ geometry parser (the hot loop of cyTriMesh::LoadFromFileObj,
+// cyTriMesh.h:263+, rebuilt): v/vn/vt/f with fan triangulation and
+// v | v/t | v//n | v/t/n and negative-index forms, usemtl slot assignment by
+// first-use order. MTL files themselves are parsed by the Python layer (cold
+// path); mtllib names are returned as a '\n'-joined buffer. Semantics match
+// scene/obj_loader.py line for line (floats via strtod then cast to f32,
+// exactly Python's float() -> np.float32).
+// ---------------------------------------------------------------------------
+
+struct BhrtObj {
+  std::vector<float> v, vn, vt;
+  std::vector<int32_t> fv, fn, ft, fm;
+  std::string names;    // usemtl names, '\n'-joined, first-use order
+  std::string mtllibs;  // mtllib arguments, '\n'-joined, file order
+};
+
+}  // extern "C"
+
+namespace {
+
+inline bool obj_resolve(const char* tok, int64_t count, int32_t* out) {
+  char* end;
+  long i = strtol(tok, &end, 10);
+  if (end == tok) return false;
+  *out = (int32_t)(i > 0 ? i - 1 : count + i);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+BhrtObj* bhrt_obj_load(const char* path, int64_t counts[6]) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* o = new BhrtObj();
+  std::vector<std::string> mtl_names;
+  int32_t cur_mtl = -1;
+
+  char line[65536];
+  // Corner scratch for one face.
+  std::vector<int32_t> cv, ct, cn;
+  while (fgets(line, sizeof(line), f)) {
+    // Tokenize on whitespace (matches Python str.split()).
+    char* save = nullptr;
+    char* key = strtok_r(line, " \t\r\n", &save);
+    if (!key || key[0] == '#') continue;
+    if (!strcmp(key, "v") || !strcmp(key, "vn")) {
+      std::vector<float>& dst = key[1] ? o->vn : o->v;
+      for (int k = 0; k < 3; ++k) {
+        char* t = strtok_r(nullptr, " \t\r\n", &save);
+        dst.push_back(t ? (float)strtod(t, nullptr) : 0.0f);
+      }
+    } else if (!strcmp(key, "vt")) {
+      for (int k = 0; k < 3; ++k) {
+        char* t = strtok_r(nullptr, " \t\r\n", &save);
+        o->vt.push_back(t ? (float)strtod(t, nullptr) : 0.0f);
+      }
+    } else if (!strcmp(key, "usemtl")) {
+      char* t = strtok_r(nullptr, " \t\r\n", &save);
+      std::string name = t ? t : "";
+      cur_mtl = -1;
+      for (size_t i = 0; i < mtl_names.size(); ++i)
+        if (mtl_names[i] == name) { cur_mtl = (int32_t)i; break; }
+      if (cur_mtl < 0) {
+        mtl_names.push_back(name);
+        cur_mtl = (int32_t)mtl_names.size() - 1;
+        if (!o->names.empty()) o->names += '\n';
+        o->names += name;
+      }
+    } else if (!strcmp(key, "mtllib")) {
+      // Python joins the remaining tokens with single spaces.
+      std::string arg;
+      for (char* t = strtok_r(nullptr, " \t\r\n", &save); t;
+           t = strtok_r(nullptr, " \t\r\n", &save)) {
+        if (!arg.empty()) arg += ' ';
+        arg += t;
+      }
+      if (!o->mtllibs.empty()) o->mtllibs += '\n';
+      o->mtllibs += arg;
+    } else if (!strcmp(key, "f")) {
+      cv.clear(); ct.clear(); cn.clear();
+      for (char* t = strtok_r(nullptr, " \t\r\n", &save); t;
+           t = strtok_r(nullptr, " \t\r\n", &save)) {
+        // Split on '/': v[/t[/n]] with empty slots allowed.
+        char* p1 = strchr(t, '/');
+        char* p2 = p1 ? strchr(p1 + 1, '/') : nullptr;
+        if (p1) *p1 = 0;
+        if (p2) *p2 = 0;
+        int32_t vi, ti = -1, ni = -1;
+        if (!obj_resolve(t, (int64_t)(o->v.size() / 3), &vi)) continue;
+        if (p1 && p1[1] && (!p2 || p1 + 1 != p2))
+          obj_resolve(p1 + 1, (int64_t)(o->vt.size() / 3), &ti);
+        if (p2 && p2[1])
+          obj_resolve(p2 + 1, (int64_t)(o->vn.size() / 3), &ni);
+        cv.push_back(vi); ct.push_back(ti); cn.push_back(ni);
+      }
+      // Fan triangulation (cyTriMesh's reader; obj_loader.py:129-134).
+      for (size_t k = 1; k + 1 < cv.size(); ++k) {
+        const size_t idx[3] = {0, k, k + 1};
+        for (int j = 0; j < 3; ++j) {
+          o->fv.push_back(cv[idx[j]]);
+          o->ft.push_back(ct[idx[j]]);
+          o->fn.push_back(cn[idx[j]]);
+        }
+        o->fm.push_back(cur_mtl);
+      }
+    }
+  }
+  fclose(f);
+  counts[0] = (int64_t)(o->v.size() / 3);
+  counts[1] = (int64_t)(o->vn.size() / 3);
+  counts[2] = (int64_t)(o->vt.size() / 3);
+  counts[3] = (int64_t)(o->fm.size());
+  counts[4] = (int64_t)o->names.size();
+  counts[5] = (int64_t)o->mtllibs.size();
+  return o;
+}
+
+int bhrt_obj_fill(BhrtObj* o, float* v, float* vn, float* vt,
+                  int32_t* fv, int32_t* fn, int32_t* ft, int32_t* fm,
+                  char* names, char* mtllibs) {
+  if (!o) return -1;
+  memcpy(v, o->v.data(), o->v.size() * sizeof(float));
+  memcpy(vn, o->vn.data(), o->vn.size() * sizeof(float));
+  memcpy(vt, o->vt.data(), o->vt.size() * sizeof(float));
+  memcpy(fv, o->fv.data(), o->fv.size() * sizeof(int32_t));
+  memcpy(fn, o->fn.data(), o->fn.size() * sizeof(int32_t));
+  memcpy(ft, o->ft.data(), o->ft.size() * sizeof(int32_t));
+  memcpy(fm, o->fm.data(), o->fm.size() * sizeof(int32_t));
+  memcpy(names, o->names.data(), o->names.size());
+  memcpy(mtllibs, o->mtllibs.data(), o->mtllibs.size());
+  return 0;
+}
+
+void bhrt_obj_free(BhrtObj* o) { delete o; }
 
 }  // extern "C"

@@ -59,6 +59,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.bhrt_obj_load.restype = ctypes.c_void_p
+        lib.bhrt_obj_load.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.bhrt_obj_fill.restype = ctypes.c_int
+        lib.bhrt_obj_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 9
+        lib.bhrt_obj_free.restype = None
+        lib.bhrt_obj_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 

@@ -72,7 +72,45 @@ def compute_smooth_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return (vn / np.where(norms > 0, norms, 1.0)).astype(np.float32)
 
 
-def load_obj(path: str, load_mtl: bool = True) -> MeshDesc:
+def _parse_obj_native(path: str):
+    """Native OBJ geometry parse (bhrt_native.cpp bhrt_obj_*). Returns the
+    same (verts, norms, uvs, fv, fn, ft, fm, mtl_names, mtllib_paths)
+    tuple _parse_obj_py produces, or None if the native lib is absent."""
+    import ctypes
+
+    from bhraytracer_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = (ctypes.c_int64 * 6)()
+    h = lib.bhrt_obj_load(path.encode(), counts)
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        nv, nn, nt, nf, nb, mb = (int(counts[k]) for k in range(6))
+        v = np.empty((nv, 3), np.float32)
+        vn = np.empty((nn, 3), np.float32)
+        vt = np.empty((nt, 3), np.float32)
+        fv = np.empty((nf, 3), np.int32)
+        fn = np.empty((nf, 3), np.int32)
+        ft = np.empty((nf, 3), np.int32)
+        fm = np.empty((nf,), np.int32)
+        names = ctypes.create_string_buffer(max(nb, 1))
+        libs = ctypes.create_string_buffer(max(mb, 1))
+        lib.bhrt_obj_fill(
+            h, v.ctypes.data, vn.ctypes.data, vt.ctypes.data,
+            fv.ctypes.data, fn.ctypes.data, ft.ctypes.data, fm.ctypes.data,
+            names, libs)
+    finally:
+        lib.bhrt_obj_free(h)
+    mtl_names = names.raw[:nb].decode(errors="replace").split("\n") if nb else []
+    mtllibs = libs.raw[:mb].decode(errors="replace").split("\n") if mb else []
+    return v, vn, vt, fv, fn, ft, fm, mtl_names, mtllibs
+
+
+def _parse_obj_py(path: str):
+    """Pure-Python OBJ geometry parse; bit-identical to the native path."""
     verts: List[List[float]] = []
     norms: List[List[float]] = []
     uvs: List[List[float]] = []
@@ -81,7 +119,7 @@ def load_obj(path: str, load_mtl: bool = True) -> MeshDesc:
     ft: List[List[int]] = []
     fm: List[int] = []
     mtl_names: List[str] = []
-    obj_materials: List[Dict] = []
+    mtllibs: List[str] = []
     cur_mtl = -1
 
     with open(path, "r", errors="replace") as f:
@@ -106,9 +144,8 @@ def load_obj(path: str, load_mtl: bool = True) -> MeshDesc:
                 else:
                     mtl_names.append(name)
                     cur_mtl = len(mtl_names) - 1
-            elif key == "mtllib" and load_mtl:
-                mtl_path = os.path.join(os.path.dirname(path), " ".join(tok[1:]))
-                obj_materials.extend(parse_mtl(mtl_path))
+            elif key == "mtllib":
+                mtllibs.append(" ".join(tok[1:]))
             elif key == "f":
                 corners = []
                 for vtok in tok[1:]:
@@ -133,20 +170,39 @@ def load_obj(path: str, load_mtl: bool = True) -> MeshDesc:
                     fn.append([c[2] for c in tri])
                     fm.append(cur_mtl)
 
-    verts_a = np.asarray(verts, np.float32).reshape(-1, 3)
-    faces_a = np.asarray(fv, np.int32).reshape(-1, 3)
-    uvs_a = np.asarray(uvs, np.float32).reshape(-1, 3)
-    norms_a = np.asarray(norms, np.float32).reshape(-1, 3)
-    fn_a = np.asarray(fn, np.int32).reshape(-1, 3)
-    ft_a = np.asarray(ft, np.int32).reshape(-1, 3)
-    fm_a = np.asarray(fm, np.int32).reshape(-1)
+    return (np.asarray(verts, np.float32).reshape(-1, 3),
+            np.asarray(norms, np.float32).reshape(-1, 3),
+            np.asarray(uvs, np.float32).reshape(-1, 3),
+            np.asarray(fv, np.int32).reshape(-1, 3),
+            np.asarray(fn, np.int32).reshape(-1, 3),
+            np.asarray(ft, np.int32).reshape(-1, 3),
+            np.asarray(fm, np.int32).reshape(-1),
+            mtl_names, mtllibs)
 
-    has_normals = len(norms) > 0 and (fn_a >= 0).all()
+
+def load_obj(path: str, load_mtl: bool = True,
+             native: bool = True) -> MeshDesc:
+    """Load an OBJ (+MTL) into a MeshDesc. The geometry hot loop runs in the
+    native helper when available (bhrt_native.cpp, the cyTriMesh.h:263+
+    counterpart); `native=False` forces the bit-identical Python parser."""
+    parsed = _parse_obj_native(path) if native else None
+    if parsed is None:
+        parsed = _parse_obj_py(path)
+    verts_a, norms_a, uvs_a, fv_a, fn_a, ft_a, fm_a, mtl_names, mtllibs = parsed
+    faces_a = fv_a
+
+    obj_materials: List[Dict] = []
+    if load_mtl:
+        for rel in mtllibs:
+            obj_materials.extend(
+                parse_mtl(os.path.join(os.path.dirname(path), rel)))
+
+    has_normals = norms_a.shape[0] > 0 and (fn_a >= 0).all()
     if not has_normals:
         norms_a = compute_smooth_normals(verts_a, faces_a)
         fn_a = faces_a.copy()
 
-    has_uvs = len(uvs) > 0 and (ft_a >= 0).all()
+    has_uvs = uvs_a.shape[0] > 0 and (ft_a >= 0).all()
     if not has_uvs:
         uvs_a = np.zeros((1, 3), np.float32)
         ft_a = np.zeros_like(faces_a)
