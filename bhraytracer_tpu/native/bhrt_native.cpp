@@ -233,17 +233,23 @@ inline bool obj_resolve(const char* tok, int64_t count, int32_t* out) {
 
 extern "C" {
 
-BhrtObj* bhrt_obj_load(const char* path, int64_t counts[6]) {
+BhrtObj* bhrt_obj_load(const char* path, int64_t counts[8]) {
   FILE* f = fopen(path, "rb");
+  counts[6] = 0;  // parse-error flag (Python falls back + raises on error)
   if (!f) return nullptr;
   auto* o = new BhrtObj();
   std::vector<std::string> mtl_names;
   int32_t cur_mtl = -1;
 
-  char line[65536];
+  // getline: arbitrary line lengths (giant polygon fans occur in CAD
+  // exports; a fixed buffer would silently split them — bit-identical to
+  // the Python parser requires handling them whole).
+  char* line = nullptr;
+  size_t line_cap = 0;
+  bool bad = false;
   // Corner scratch for one face.
   std::vector<int32_t> cv, ct, cn;
-  while (fgets(line, sizeof(line), f)) {
+  while (!bad && getline(&line, &line_cap, f) != -1) {
     // Tokenize on whitespace (matches Python str.split()).
     char* save = nullptr;
     char* key = strtok_r(line, " \t\r\n", &save);
@@ -291,7 +297,13 @@ BhrtObj* bhrt_obj_load(const char* path, int64_t counts[6]) {
         if (p1) *p1 = 0;
         if (p2) *p2 = 0;
         int32_t vi, ti = -1, ni = -1;
-        if (!obj_resolve(t, (int64_t)(o->v.size() / 3), &vi)) continue;
+        if (!obj_resolve(t, (int64_t)(o->v.size() / 3), &vi)) {
+          // Malformed vertex index: the Python parser raises here; flag the
+          // error so the wrapper falls back to it instead of silently
+          // dropping the corner.
+          bad = true;
+          break;
+        }
         if (p1 && p1[1] && (!p2 || p1 + 1 != p2))
           obj_resolve(p1 + 1, (int64_t)(o->vt.size() / 3), &ti);
         if (p2 && p2[1])
@@ -310,7 +322,9 @@ BhrtObj* bhrt_obj_load(const char* path, int64_t counts[6]) {
       }
     }
   }
+  free(line);
   fclose(f);
+  if (bad) counts[6] = 1;
   counts[0] = (int64_t)(o->v.size() / 3);
   counts[1] = (int64_t)(o->vn.size() / 3);
   counts[2] = (int64_t)(o->vt.size() / 3);

@@ -494,6 +494,7 @@ def shade_setup_supported(pack, cfg, pmap) -> bool:
     n_inst = pack.n_sph + pack.n_pln + pack.n_msh
     return (_SHADE_KERNEL_MODE == "auto"
             and pack.n_texmaps == 0 and pmap is None
+            and not cfg.use_photon_map  # probe-time: pmap not built yet
             and not cfg.differentiable
             and 0 < n_inst <= MAX_INST
             and pack.mtl_gloss.shape[0] <= MAX_MTL

@@ -83,11 +83,15 @@ def _parse_obj_native(path: str):
     lib = get_lib()
     if lib is None:
         return None
-    counts = (ctypes.c_int64 * 6)()
+    counts = (ctypes.c_int64 * 8)()
     h = lib.bhrt_obj_load(path.encode(), counts)
     if not h:
         raise FileNotFoundError(path)
     try:
+        if int(counts[6]):
+            # Malformed file (bad face index): fall back to the Python
+            # parser, which raises the informative ValueError.
+            return None
         nv, nn, nt, nf, nb, mb = (int(counts[k]) for k in range(6))
         v = np.empty((nv, 3), np.float32)
         vn = np.empty((nn, 3), np.float32)

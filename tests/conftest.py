@@ -43,3 +43,27 @@ def reference_dir():
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def gen_assets_root():
+    """REPO/assets populated by tools/gen_assets.py, exactly once across
+    xdist workers (flock on a lockfile — each worker is its own process, so
+    unguarded sentinel checks could race two generators whose interleaved
+    writes a third test might read half-finished)."""
+    import fcntl
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(repo, "assets")
+    sentinel = os.path.join(root, "Resource", "Data", "teapot.obj")
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".genlock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not os.path.exists(sentinel):
+            subprocess.run(
+                [sys.executable, os.path.join(repo, "tools", "gen_assets.py"),
+                 root],
+                check=True, capture_output=True)
+    return root

@@ -119,18 +119,12 @@ def test_adaptive_rerender_recovers_energy(glass_scene):
     np.testing.assert_allclose(img_adaptive, img_ref, atol=1e-5)
 
 
-def test_bundled_glass_scenes_lossless(reference_dir):
+def test_bundled_glass_scenes_lossless(reference_dir, gen_assets_root):
     """The reference's own glass-heavy headline scene drops zero lanes at
     default capacity (PARITY.md's claim, now enforced)."""
     import os
-    import subprocess
-    import sys
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    assets = os.path.join(repo, "assets")
-    if not os.path.exists(os.path.join(assets, "Resource", "Data", "teapot.obj")):
-        subprocess.run([sys.executable, os.path.join(repo, "tools", "gen_assets.py"),
-                        assets], check=True)
+    assets = gen_assets_root
     for scene_name in ("proj12_backfaceTest.xml", "proj12.xml"):
         scene_path = os.path.join(reference_dir, "Resource", "Data", scene_name)
         import warnings

@@ -7,8 +7,6 @@ bundled final scene loads, compiles, and renders finite non-trivial images
 end-to-end (SURVEY §4: proj14 is the 22-object stress scene family)."""
 
 import os
-import subprocess
-import sys
 import warnings
 
 import numpy as np
@@ -27,14 +25,9 @@ SCENES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def assets():
-    root = os.path.join(REPO, "assets")
-    if not os.path.exists(os.path.join(root, "Resource", "Data", "teapot.obj")):
-        subprocess.run([sys.executable,
-                        os.path.join(REPO, "tools", "gen_assets.py"), root],
-                       check=True, capture_output=True)
-    return root
+@pytest.fixture
+def assets(gen_assets_root):
+    return gen_assets_root
 
 
 @pytest.mark.parametrize("rel,min_meshes,min_mean", SCENES,

@@ -7,8 +7,6 @@ quads via fan triangulation, usemtl slots by first use, mtllib paths with
 spaces)."""
 
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -47,14 +45,9 @@ illum 3
 """
 
 
-@pytest.fixture(scope="module")
-def assets():
-    root = os.path.join(REPO, "assets")
-    if not os.path.exists(os.path.join(root, "Resource", "Data", "teapot.obj")):
-        subprocess.run([sys.executable,
-                        os.path.join(REPO, "tools", "gen_assets.py"), root],
-                       check=True, capture_output=True)
-    return root
+@pytest.fixture
+def assets(gen_assets_root):
+    return gen_assets_root
 
 
 def _assert_same(a, b):
@@ -93,3 +86,13 @@ def test_generated_assets_native_matches_python(assets):
     assert len(objs) >= 10
     for path in objs:
         _assert_same(load_obj(path, native=True), load_obj(path, native=False))
+
+
+def test_malformed_face_raises(tmp_path):
+    """A bad face index must RAISE (Python parser semantics) — the native
+    parser flags the error and defers to Python rather than silently
+    dropping the corner."""
+    p = tmp_path / "bad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 x 3\n")
+    with pytest.raises(ValueError):
+        load_obj(str(p))

@@ -7,10 +7,6 @@ bits) for every Surface field. The fast path feeds non-differentiable
 renders; the AD path keeps pool gathers so vertex grads reach pack.verts.
 """
 
-import os
-import subprocess
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,18 +14,14 @@ import pytest
 
 from bhraytracer_tpu.ops import trace as T
 from bhraytracer_tpu.scene.xml_loader import load_scene
-from tests.test_mesh_render import REPO, SCENE
+from tests.test_mesh_render import SCENE
 
 
 @pytest.fixture(scope="module")
-def pack(tmp_path_factory):
-    root = tmp_path_factory.mktemp("rows_assets")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "gen_assets.py"), str(root)],
-        check=True, capture_output=True)
-    scene = root / "scene.xml"
+def pack(tmp_path_factory, gen_assets_root):
+    scene = tmp_path_factory.mktemp("rows_scene") / "scene.xml"
     scene.write_text(SCENE)
-    pk, _cam = load_scene(str(scene), resource_root=str(root))
+    pk, _cam = load_scene(str(scene), resource_root=gen_assets_root)
     return pk
 
 

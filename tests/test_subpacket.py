@@ -17,21 +17,14 @@ from bhraytracer_tpu.ops.trace import MESH_SHADOW_BIAS, bvh_anyhit, bvh_closest
 
 
 @pytest.fixture(scope="module")
-def mesh_pack():
+def mesh_pack(gen_assets_root):
     import os
-    import subprocess
-    import sys
 
     from bhraytracer_tpu.scene import desc as D
     from bhraytracer_tpu.scene.compile import compile_scene
     from bhraytracer_tpu.scene.obj_loader import load_obj
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    teapot = os.path.join(repo, "assets", "Resource", "Data", "teapot.obj")
-    if not os.path.exists(teapot):
-        subprocess.run([sys.executable,
-                        os.path.join(repo, "tools", "gen_assets.py"),
-                        os.path.join(repo, "assets")], check=True)
+    teapot = os.path.join(gen_assets_root, "Resource", "Data", "teapot.obj")
     sd = D.SceneDesc()
     sd.materials.append(D.MaterialDesc(name="m"))
     sd.meshes.append(load_obj(teapot))
