@@ -68,26 +68,40 @@ def build_bvh(verts: np.ndarray, faces: np.ndarray, leaf_size: int = 4) -> BVHAr
 
 
 def build_treelet_layout(left: np.ndarray, count: np.ndarray,
-                         node_rows: np.ndarray, budget_rows: int):
-    """Partition the tree into VMEM-sized treelets for streamed traversal.
+                         node_rows: np.ndarray, face_rows: np.ndarray,
+                         budget_rows: int):
+    """Partition the tree into UNIFORM VMEM-sized treelets for streaming.
 
-    Walks down from the root until every subtree's (node rows + face rows)
-    fits `budget_rows`, then re-emits each treelet's nodes in DFS order with
-    LOCAL child indices (leaf `left` becomes the face offset local to the
-    treelet's face slice). Returns (treelets, packed_rows) where treelets is
-    a tuple of (node_start, node_end, face_start, face_end) into the packed
-    node table / the UNCHANGED global face table. Relies on both builders'
-    DFS-left-first emission: every subtree owns a contiguous face range and
-    child ids exceed the parent's (asserted).
+    Walks down from the root until every subtree fits a fixed per-treelet
+    (node, face) row budget, then re-emits each treelet's nodes in DFS order
+    with LOCAL child indices (leaf `left` becomes the face offset local to
+    the treelet's face block) and copies its face rows into a per-treelet
+    block. EVERY treelet is padded to the same (NB, FB) shape — one Mosaic
+    kernel shape serves all slices (and all big scenes), and the caller
+    streams them with a `lax.scan`, so XLA program size is constant in the
+    treelet count. Padding face rows are all-zero: a degenerate triangle's
+    plane test can never pass (n = 0 -> |cos| < PERP_EPS).
+
+    Returns (treelets, padded_nodes (T*NB, C), padded_faces (T*FB, C)) with
+    `treelets` a tuple of (face_start, face_end) GLOBAL face ranges per
+    treelet (global face id = face_start + local row). Relies on both
+    builders' DFS-left-first emission: every subtree owns a contiguous face
+    range and child ids exceed the parent's (asserted).
 
     The reference has no analogue (cyBVH traverses from host RAM); this is
     the TPU answer to meshes whose tables exceed the packet kernel's VMEM
-    budget — the caller streams one treelet slice per kernel call and folds
-    results with per-lane best-t, so pruning carries across treelets."""
+    budget — per-lane best-t carries across treelets so pruning compounds."""
     n = left.shape[0]
     internal = count == 0
     li = left[internal]
     assert (li > np.nonzero(internal)[0]).all(), "child ids must follow parent"
+
+    # Fixed split of the row budget: mid-split with leaf_size 4 gives
+    # roughly one node per two faces, so reserve a third for nodes (a
+    # leaf-heavy subtree then binds on NB and wastes face rows — only
+    # padding, never correctness).
+    nb = max(8, (budget_rows // 3) & ~7)
+    fb = budget_rows - nb
 
     sub_nodes = np.ones(n, np.int64)
     sub_faces = count.astype(np.int64).copy()
@@ -106,20 +120,21 @@ def build_treelet_layout(left: np.ndarray, count: np.ndarray,
     stack = [0]
     while stack:
         nid = stack.pop()
-        if count[nid] > 0 or sub_nodes[nid] + sub_faces[nid] <= budget_rows:
+        if count[nid] > 0 or (sub_nodes[nid] <= nb and sub_faces[nid] <= fb):
             cut.append(nid)
         else:
             stack.append(int(left[nid]) + 1)
             stack.append(int(left[nid]))
 
+    t = len(cut)
+    nodes = np.zeros((t * nb, node_rows.shape[1]), node_rows.dtype)
+    faces = np.zeros((t * fb, face_rows.shape[1]), face_rows.dtype)
     treelets = []
-    blocks = []
-    ns = 0
-    for cn in cut:
+    for ti, cn in enumerate(cut):
         fs = int(fstart[cn])
         fe = fs + int(sub_faces[cn])
-        m = int(sub_nodes[cn])
-        rows = np.zeros((m, node_rows.shape[1]), node_rows.dtype)
+        faces[ti * fb:ti * fb + (fe - fs)] = face_rows[fs:fe]
+        rows = nodes[ti * nb:(ti + 1) * nb]
         # Local ids in DFS pre-order with sibling pairs adjacent (the kernel
         # assumes right child = left + 1).
         loc = {cn: 0}
@@ -139,10 +154,8 @@ def build_treelet_layout(left: np.ndarray, count: np.ndarray,
                 st.append(l)
             else:
                 rows[lid, 6] = float(int(left[nid]) - fs)
-        treelets.append((ns, ns + m, fs, fe))
-        ns += m
-        blocks.append(rows)
-    return tuple(treelets), np.concatenate(blocks)
+        treelets.append((fs, fe))
+    return tuple(treelets), nodes, faces
 
 
 def _build_bvh_py(verts: np.ndarray, faces: np.ndarray, leaf_size: int = 4) -> BVHArrays:

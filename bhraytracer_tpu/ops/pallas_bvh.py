@@ -330,18 +330,28 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
         return t[inv], face[inv], front[inv]
     side = {"front": 0, "back": 1, "both": 2}[hit_side]
     if pack.treelets:
-        t_best = t_init.astype(jnp.float32)
-        face = jnp.full(t_best.shape, -1, jnp.int32)
-        front = jnp.zeros(t_best.shape, jnp.int32)
-        for ns, ne, fs, fe in pack.treelets:
-            t, f_loc, fr = _closest_call(
-                pack.pallas_nodes[ns:ne], pack.pallas_faces[fs:fe],
-                0, side, o, d, t_best,
-            )
+        # Uniform padded blocks -> ONE kernel shape; lax.scan keeps the XLA
+        # program size constant in the treelet count. Per-lane best-t is the
+        # scan carry, so later treelets prune against earlier hits.
+        t_c = len(pack.treelets)
+        nodes3 = pack.pallas_nodes.reshape(t_c, -1, pack.pallas_nodes.shape[1])
+        faces3 = pack.pallas_faces.reshape(t_c, -1, pack.pallas_faces.shape[1])
+        fstarts = jnp.asarray([fs for fs, _ in pack.treelets], jnp.int32)
+
+        def body(carry, xs):
+            t_best, face, front = carry
+            nd, fc, fs0 = xs
+            t, f_loc, fr = _closest_call(nd, fc, 0, side, o, d, t_best)
             upd = t < t_best
-            t_best = jnp.where(upd, t, t_best)
-            face = jnp.where(upd, f_loc + fs, face)
-            front = jnp.where(upd, fr, front)
+            return (jnp.where(upd, t, t_best),
+                    jnp.where(upd, f_loc + fs0, face),
+                    jnp.where(upd, fr, front)), None
+
+        init = (t_init.astype(jnp.float32),
+                jnp.full(t_init.shape, -1, jnp.int32),
+                jnp.zeros(t_init.shape, jnp.int32))
+        (t_best, face, front), _ = jax.lax.scan(
+            body, init, (nodes3, faces3, fstarts))
         return t_best, face, front.astype(bool)
     t, face, front = _closest_call(
         pack.pallas_nodes, pack.pallas_faces, root, side, o, d, t_init)
@@ -465,15 +475,19 @@ def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = Tru
         return occ[inv]
     if pack.treelets:
         tm = jnp.broadcast_to(t_max, (o.shape[0],)).astype(jnp.float32)
-        occ = jnp.zeros(tm.shape, bool)
-        for ns, ne, fs, fe in pack.treelets:
+        t_c = len(pack.treelets)
+        nodes3 = pack.pallas_nodes.reshape(t_c, -1, pack.pallas_nodes.shape[1])
+        faces3 = pack.pallas_faces.reshape(t_c, -1, pack.pallas_faces.shape[1])
+
+        def body(occ, xs):
+            nd, fc = xs
             # Already-occluded lanes carry t_max = 0 so the root test
             # retires them instantly in later treelets.
             tm_live = jnp.where(occ, 0.0, tm)
-            occ |= _anyhit_call(
-                pack.pallas_nodes[ns:ne], pack.pallas_faces[fs:fe],
-                0, t_min, o, d, tm_live,
-            )
+            return occ | _anyhit_call(nd, fc, 0, t_min, o, d, tm_live), None
+
+        occ, _ = jax.lax.scan(body, jnp.zeros(tm.shape, bool),
+                              (nodes3, faces3))
         return occ
     return _anyhit_call(
         pack.pallas_nodes, pack.pallas_faces, root, t_min, o, d, t_max)

@@ -250,8 +250,8 @@ def compile_scene(sd: D.SceneDesc, leaf_size: int = 4,
         if nb + nf_all > budget:
             per_treelet = (pallas_budget_rows if pallas_budget_rows is not None
                            else TREELET_BUDGET_ROWS)
-            treelets, pallas_nodes = build_treelet_layout(
-                bvh_left, bvh_count, pallas_nodes, per_treelet)
+            treelets, pallas_nodes, pallas_faces = build_treelet_layout(
+                bvh_left, bvh_count, pallas_nodes, pallas_faces, per_treelet)
 
     if msh:
         msh_itm = np.stack([r[0] for r in msh])

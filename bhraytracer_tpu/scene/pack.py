@@ -133,11 +133,14 @@ class ScenePack:
     has_file_tex: bool = dataclasses.field(default=False, metadata=dict(static=True))
     n_texmaps: int = dataclasses.field(default=0, metadata=dict(static=True))
     # Treelet descriptors for STREAMED packet traversal when the node+face
-    # row tables exceed the Pallas VMEM budget: a tuple of
-    # (node_start, node_end, face_start, face_end) static ints. Empty =
-    # single-shot (whole tree resident). When non-empty, `pallas_nodes` holds
-    # the per-treelet DFS-renumbered layout (children/leaf starts LOCAL to
-    # the treelet slice); the XLA-path bvh_* arrays keep the global tree.
+    # row tables exceed the Pallas VMEM budget: a tuple of GLOBAL
+    # (face_start, face_end) ranges, one per treelet. Empty = single-shot
+    # (whole tree resident). When non-empty, `pallas_nodes`/`pallas_faces`
+    # hold UNIFORM padded per-treelet blocks (T*NB, 16)/(T*FB, 16) — one
+    # kernel shape streams every slice via lax.scan (children/leaf starts
+    # LOCAL to the block; global face id = face_start + local row; all-zero
+    # pad faces can never pass the plane test). The XLA-path bvh_*/wtri_*
+    # arrays keep the global tree.
     treelets: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
 

@@ -82,13 +82,21 @@ def rays(rng):
 def test_treelet_tables_cover_tree(packs):
     streamed, whole = packs
     nf = int(whole.pallas_faces.shape[0])
-    fr = sorted((fs, fe) for _, _, fs, fe in streamed.treelets)
+    fr = sorted(streamed.treelets)
     assert fr[0][0] == 0 and fr[-1][1] == nf
     assert all(a[1] == b[0] for a, b in zip(fr, fr[1:]))  # tile exactly
-    # Treelet node slices back-to-back as well.
-    nr = sorted((ns, ne) for ns, ne, _, _ in streamed.treelets)
-    assert nr[0][0] == 0
-    assert all(a[1] == b[0] for a, b in zip(nr, nr[1:]))
+    # Uniform padded blocks: arrays divide evenly into one shape per slice,
+    # and each block's real face rows are copies of the global rows.
+    t = len(streamed.treelets)
+    assert streamed.pallas_nodes.shape[0] % t == 0
+    assert streamed.pallas_faces.shape[0] % t == 0
+    fb = streamed.pallas_faces.shape[0] // t
+    gf = np.asarray(whole.pallas_faces)
+    sf = np.asarray(streamed.pallas_faces).reshape(t, fb, -1)
+    for i, (fs, fe) in enumerate(streamed.treelets):
+        assert fe - fs <= fb
+        np.testing.assert_array_equal(sf[i, :fe - fs], gf[fs:fe])
+        np.testing.assert_array_equal(sf[i, fe - fs:], 0.0)  # zero padding
 
 
 @pytest.mark.parametrize("side", ["front", "both"])
