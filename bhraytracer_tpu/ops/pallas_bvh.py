@@ -139,8 +139,23 @@ def _box_test(row, lo, pox, poy, poz, idx, idy, idz, t_best):
     return t_lo, hit
 
 
-def _closest_kernel(side: int, n_faces: int,
-                    root_ref, nodes, faces,
+def _local_ray(ref, k, pox, poy, poz, pdx, pdy, pdz):
+    """Instance-local ray via row k's [itm (9), pos (3)] (pallas_trace
+    layout)."""
+    m = [ref[k, j] for j in range(9)]
+    sx, sy, sz = pox - ref[k, 9], poy - ref[k, 10], poz - ref[k, 11]
+    return (
+        m[0] * sx + m[1] * sy + m[2] * sz,
+        m[3] * sx + m[4] * sy + m[5] * sz,
+        m[6] * sx + m[7] * sy + m[8] * sz,
+        m[0] * pdx + m[1] * pdy + m[2] * pdz,
+        m[3] * pdx + m[4] * pdy + m[5] * pdz,
+        m[6] * pdx + m[7] * pdy + m[8] * pdz,
+    )
+
+
+def _closest_kernel(side: int, n_faces: int, n_sph: int, n_pln: int,
+                    root_ref, nodes, faces, sph_ref, pln_ref,
                     ox, oy, oz, dx, dy, dz, tinit,
                     t_out, face_out, front_out,
                     stack):
@@ -161,6 +176,64 @@ def _closest_kernel(side: int, n_faces: int,
     root = root_ref[0]
 
     t0 = tinit[...]
+    bface0 = jnp.full(pox.shape, -1, jnp.int32)
+    bfront0 = jnp.zeros(pox.shape, jnp.int32)
+
+    # Analytic instances FIRST (formulas identical to ops/pallas_trace's
+    # fused kernel, which this fold replaces for mesh scenes): their best-t
+    # then prunes the mesh traversal below per lane. Analytic winners encode
+    # face = -(2 + inst*4 + kind*2 + front); mesh winners overwrite with the
+    # real face row (>= 0); miss stays -1.
+    for k in range(n_sph):
+        lox, loy, loz, ldx, ldy, ldz = _local_ray(
+            sph_ref, k, pox, poy, poz, pdx, pdy, pdz)
+        a = ldx * ldx + ldy * ldy + ldz * ldz
+        b = 2.0 * (ldx * lox + ldy * loy + ldz * loz)
+        c = lox * lox + loy * loy + loz * loz - 1.0
+        disc = b * b - 4.0 * a * c
+        ok = disc > 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv2a = 1.0 / jnp.maximum(2.0 * a, 1e-30)
+        t1 = (-b + sq) * inv2a
+        t2 = (-b - sq) * inv2a
+        both_pos = t2 > 0.0
+        inside = t1 * t2 <= 0.0
+        if side == 0:  # front
+            t = jnp.where(both_pos, t2, BIG)
+            front = jnp.ones_like(ok)
+        elif side == 1:  # back
+            t = jnp.where(both_pos, t1, jnp.where(inside, t1, BIG))
+            front = jnp.zeros_like(ok)
+        else:  # both
+            t = jnp.where(both_pos, t2, jnp.where(inside, t1, BIG))
+            front = both_pos
+        t = jnp.where(ok & (t > 0.0), t, BIG)
+        upd = t < t0
+        t0 = jnp.where(upd, t, t0)
+        bface0 = jnp.where(upd, -(2 + k * 4 + front.astype(jnp.int32)),
+                           bface0)
+        bfront0 = jnp.where(upd, front.astype(jnp.int32), bfront0)
+
+    for k in range(n_pln):
+        lox, loy, loz, ldx, ldy, ldz = _local_ray(
+            pln_ref, k, pox, poy, poz, pdx, pdy, pdz)
+        t = -loz / jnp.where(ldz == 0.0, 1e-30, ldz)
+        x = lox + t * ldx
+        y = loy + t * ldy
+        in_ext = (jnp.abs(x) <= 1.0) & (jnp.abs(y) <= 1.0)
+        front = ldz < 0.0
+        ok = (ldz != 0.0) & (t > 0.0) & in_ext
+        if side == 0:
+            ok &= front
+        elif side == 1:
+            ok &= ~front
+        t = jnp.where(ok, t, BIG)
+        upd = t < t0
+        t0 = jnp.where(upd, t, t0)
+        bface0 = jnp.where(upd, -(2 + k * 4 + 2 + front.astype(jnp.int32)),
+                           bface0)
+        bfront0 = jnp.where(upd, front.astype(jnp.int32), bfront0)
+
     root_row = _row(nodes, root, upto=8)
     _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, t0)
     stack[0] = root
@@ -227,12 +300,7 @@ def _closest_kernel(side: int, n_faces: int,
         )
         return sp, tb, bf, bfr
 
-    init = (
-        sp0,
-        t0,
-        jnp.full(pox.shape, -1, jnp.int32),
-        jnp.zeros(pox.shape, jnp.int32),
-    )
+    init = (sp0, t0, bface0, bfront0)
     sp, t_best, bface, bfront = jax.lax.while_loop(cond, body, init)
     t_out[...] = t_best
     face_out[...] = bface
@@ -270,9 +338,12 @@ def _coherence_order(pack, root, o, d, t_init):
     return jnp.argsort(key, stable=True)
 
 
-def _closest_call(nodes, faces, root: int, side: int, o, d, t_init):
+def _closest_call(nodes, faces, root: int, side: int, o, d, t_init,
+                  sph_tab=None, pln_tab=None):
     """One pallas_call over the given node/face row tables (a whole tree or
-    one treelet slice). Returns (t, LOCAL face row, front i32)."""
+    one treelet slice). Returns (t, LOCAL face row, front i32). With
+    sph_tab/pln_tab, the analytic instances are tested in the same kernel
+    (negative face coding, see _closest_kernel)."""
     comps, n = _pad_rays(o, d)
     g = comps[0].shape[0]
     pad = g * LANES - n
@@ -281,14 +352,19 @@ def _closest_call(nodes, faces, root: int, side: int, o, d, t_init):
                          jnp.zeros((pad,), jnp.float32)])
         if pad else t_init.astype(jnp.float32)
     ).reshape(g, LANES)
-    kernel = functools.partial(_closest_kernel, side, int(faces.shape[0]))
+    n_sph = int(sph_tab.shape[0]) if sph_tab is not None else 0
+    n_pln = int(pln_tab.shape[0]) if pln_tab is not None else 0
+    sph_tab = sph_tab if n_sph else jnp.zeros((1, 12), jnp.float32)
+    pln_tab = pln_tab if n_pln else jnp.zeros((1, 12), jnp.float32)
+    kernel = functools.partial(_closest_kernel, side, int(faces.shape[0]),
+                               n_sph, n_pln)
     ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
     t, face, front = pl.pallas_call(
         kernel,
         grid=(g // SUBL,),
-        in_specs=[smem1, arr, arr] + [ray_spec] * 7,
+        in_specs=[smem1, arr, arr, arr, arr] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((g, LANES), jnp.float32),
@@ -299,7 +375,7 @@ def _closest_call(nodes, faces, root: int, side: int, o, d, t_init):
         interpret=jax.default_backend() != "tpu",
     )(
         jnp.asarray([root], jnp.int32),
-        nodes, faces,
+        nodes, faces, sph_tab, pln_tab,
         *comps, ti,
     )
     return (
@@ -310,10 +386,15 @@ def _closest_call(nodes, faces, root: int, side: int, o, d, t_init):
 
 
 def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
-                       reorder: bool = True):
+                       reorder: bool = True, sph_tab=None, pln_tab=None):
     """Packet-traversal closest hit. o, d: (N,3) world rays; returns
     (t, face, front) with t = BIG on miss. t_init (N,) seeds per-lane
-    pruning with the best hit found so far (analytic instances).
+    pruning with the best hit found so far.
+
+    With sph_tab/pln_tab the analytic instances are folded into the SAME
+    kernel (one launch, one XLA combine fewer per trace): an analytic
+    winner's face is coded -(2 + inst*4 + kind*2 + front) <= -2, a mesh
+    winner is its global face row, miss is -1.
 
     Scenes beyond the VMEM budget stream one treelet slice per kernel call
     (pack.treelets); per-lane best-t carries across calls so later treelets
@@ -325,7 +406,7 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
         inv = inverse_permutation(order)
         t, face, front = bvh_closest_pallas(
             pack, root, o[order], d[order], hit_side, t_init[order],
-            reorder=False,
+            reorder=False, sph_tab=sph_tab, pln_tab=pln_tab,
         )
         return t[inv], face[inv], front[inv]
     side = {"front": 0, "back": 1, "both": 2}[hit_side]
@@ -354,12 +435,14 @@ def bvh_closest_pallas(pack, root, o, d, hit_side: str, t_init=None,
             body, init, (nodes3, faces3, fstarts))
         return t_best, face, front.astype(bool)
     t, face, front = _closest_call(
-        pack.pallas_nodes, pack.pallas_faces, root, side, o, d, t_init)
+        pack.pallas_nodes, pack.pallas_faces, root, side, o, d, t_init,
+        sph_tab=sph_tab, pln_tab=pln_tab)
     return t, face, front.astype(bool)
 
 
-def _anyhit_kernel(n_faces: int, bias: float,
-                   root_ref, nodes, faces,
+def _anyhit_kernel(n_faces: int, bias: float, n_sph: int, n_pln: int,
+                   ana_bias: float, plane_world_bug: bool,
+                   root_ref, nodes, faces, sph_ref, pln_ref,
                    ox, oy, oz, dx, dy, dz, tmax,
                    occ_out, stack):
     pox, poy, poz = ox[...], oy[...], oz[...]
@@ -371,6 +454,37 @@ def _anyhit_kernel(n_faces: int, bias: float,
     inv_dlen = jax.lax.rsqrt(
         jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
     root = root_ref[0]
+
+    # Analytic occlusion FIRST (ShadowRayRecursive's sphere/plane math,
+    # formulas identical to ops/pallas_trace's shadow kernel, which this
+    # fold replaces for mesh scenes): occluded lanes then retire from the
+    # traversal vote below with tm = 0.
+    occ0 = jnp.zeros(pox.shape, jnp.int32)
+    for k in range(n_sph):
+        lox, loy, loz, ldx, ldy, ldz = _local_ray(
+            sph_ref, k, pox, poy, poz, pdx, pdy, pdz)
+        a = ldx * ldx + ldy * ldy + ldz * ldz
+        b = 2.0 * (ldx * lox + ldy * loy + ldz * loz)
+        c = lox * lox + loy * loy + loz * loz - 1.0
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        tmin = (-b - sq) / jnp.maximum(2.0 * a, 1e-30)
+        hit = (disc > 0.0) & (tmin > ana_bias) & (tmin < tm)
+        occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
+    for k in range(n_pln):
+        lox, loy, loz, ldx, ldy, ldz = _local_ray(
+            pln_ref, k, pox, poy, poz, pdx, pdy, pdz)
+        t = -loz / jnp.where(ldz == 0.0, 1e-30, ldz)
+        if plane_world_bug:
+            x = pox + t * pdx
+            y = poy + t * pdy
+        else:
+            x = lox + t * ldx
+            y = loy + t * ldy
+        in_ext = (jnp.abs(x) <= 1.0) & (jnp.abs(y) <= 1.0)
+        hit = (ldz != 0.0) & (t >= 0.0) & in_ext & (t > ana_bias) & (t < tm)
+        occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
+    tm = jnp.where(occ0 > 0, 0.0, tm)
 
     # Prune box descent against the parametric shadow bound: boxes entered
     # beyond a lane's t_max cannot occlude it (shadow rays toward point
@@ -429,13 +543,13 @@ def _anyhit_kernel(n_faces: int, bias: float,
         occ, sp = jax.lax.cond(cnt > 0, leaf_fn, internal_fn, (occ, sp))
         return sp, occ
 
-    _, occ = jax.lax.while_loop(
-        cond, body, (sp0, jnp.zeros(pox.shape, jnp.int32))
-    )
+    _, occ = jax.lax.while_loop(cond, body, (sp0, occ0))
     occ_out[...] = occ
 
 
-def _anyhit_call(nodes, faces, root: int, t_min: float, o, d, t_max):
+def _anyhit_call(nodes, faces, root: int, t_min: float, o, d, t_max,
+                 sph_tab=None, pln_tab=None, ana_bias: float = 0.0,
+                 plane_world_bug: bool = False):
     comps, n = _pad_rays(o, d)
     g = comps[0].shape[0]
     tmax_full = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
@@ -444,33 +558,42 @@ def _anyhit_call(nodes, faces, root: int, t_min: float, o, d, t_max):
         jnp.concatenate([tmax_full, jnp.zeros((pad,), jnp.float32)])
         if pad else tmax_full
     ).reshape(g, LANES)
-    kernel = functools.partial(_anyhit_kernel, int(faces.shape[0]), t_min)
+    n_sph = int(sph_tab.shape[0]) if sph_tab is not None else 0
+    n_pln = int(pln_tab.shape[0]) if pln_tab is not None else 0
+    sph_tab = sph_tab if n_sph else jnp.zeros((1, 12), jnp.float32)
+    pln_tab = pln_tab if n_pln else jnp.zeros((1, 12), jnp.float32)
+    kernel = functools.partial(_anyhit_kernel, int(faces.shape[0]), t_min,
+                               n_sph, n_pln, ana_bias, plane_world_bug)
     ray_spec = pl.BlockSpec((SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(g // SUBL,),
-        in_specs=[smem1, arr, arr] + [ray_spec] * 7,
+        in_specs=[smem1, arr, arr, arr, arr] + [ray_spec] * 7,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((g, LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
     )(
         jnp.asarray([root], jnp.int32),
-        nodes, faces,
+        nodes, faces, sph_tab, pln_tab,
         *comps, tmax_p,
     )
     return occ.reshape(-1)[:n].astype(bool)
 
 
-def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = True):
+def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max,
+                      reorder: bool = True, sph_tab=None, pln_tab=None,
+                      ana_bias: float = 0.0, plane_world_bug: bool = False):
     if reorder:
         tm = jnp.broadcast_to(t_max, (o.shape[0],))
         order = _coherence_order(pack, root, o, d, tm)
         inv = inverse_permutation(order)
         occ = bvh_anyhit_pallas(
-            pack, root, o[order], d[order], t_min, tm[order], reorder=False
+            pack, root, o[order], d[order], t_min, tm[order], reorder=False,
+            sph_tab=sph_tab, pln_tab=pln_tab, ana_bias=ana_bias,
+            plane_world_bug=plane_world_bug,
         )
         return occ[inv]
     if pack.treelets:
@@ -490,4 +613,6 @@ def bvh_anyhit_pallas(pack, root, o, d, t_min: float, t_max, reorder: bool = Tru
                               (nodes3, faces3))
         return occ
     return _anyhit_call(
-        pack.pallas_nodes, pack.pallas_faces, root, t_min, o, d, t_max)
+        pack.pallas_nodes, pack.pallas_faces, root, t_min, o, d, t_max,
+        sph_tab=sph_tab, pln_tab=pln_tab, ana_bias=ana_bias,
+        plane_world_bug=plane_world_bug)

@@ -273,7 +273,19 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
     best_face = jnp.full((n,), -1, jnp.int32)
     best_front = jnp.zeros((n,), bool)
 
-    if _pallas_enabled() and (pack.n_sph or pack.n_pln):
+    # Mesh scenes fold the analytic tests into the packet BVH kernel itself
+    # (one launch + one XLA combine fewer per trace); treelet-streamed
+    # scenes and mesh-free scenes keep the dedicated analytic kernel.
+    use_pallas_bvh = False
+    fold_analytic = False
+    if pack.n_msh and _pallas_enabled():
+        from bhraytracer_tpu.ops.pallas_bvh import pallas_traversable
+
+        use_pallas_bvh = pallas_traversable(pack)
+        fold_analytic = use_pallas_bvh and not pack.treelets and bool(
+            pack.n_sph or pack.n_pln)
+
+    if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
         from bhraytracer_tpu.ops.pallas_trace import (
             analytic_closest_pallas,
             instance_table,
@@ -287,7 +299,7 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
         best_kind = jnp.where(upd, kind, best_kind)
         best_inst = jnp.where(upd, inst, best_inst)
         best_front = jnp.where(upd, front, best_front)
-    elif pack.n_sph:
+    elif pack.n_sph and not _pallas_enabled():
         ol, dl = _to_local(pack.sph_itm, pack.sph_pos, o, d)
         t, front = sphere_intersect(ol, dl, hit_side)  # (N,K)
         k = jnp.argmin(t, axis=1)
@@ -314,15 +326,35 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
     if pack.n_msh:
         # ONE query over the unified world-space BVH covers every mesh
         # instance (no per-instance ray transform or sequential walk).
-        use_pallas_bvh = False
-        if _pallas_enabled():
-            from bhraytracer_tpu.ops.pallas_bvh import (
-                bvh_closest_pallas,
-                pallas_traversable,
-            )
-
-            use_pallas_bvh = pallas_traversable(pack)
         if use_pallas_bvh:
+            from bhraytracer_tpu.ops.pallas_bvh import bvh_closest_pallas
+
+            if fold_analytic:
+                from bhraytracer_tpu.ops.pallas_trace import instance_table
+
+                sph_tab = (instance_table(pack.sph_itm, pack.sph_pos)
+                           if pack.n_sph else None)
+                pln_tab = (instance_table(pack.pln_itm, pack.pln_pos)
+                           if pack.n_pln else None)
+                t, face, front = bvh_closest_pallas(
+                    pack, 0, o, d, hit_side, t_init=best_t,
+                    sph_tab=sph_tab, pln_tab=pln_tab)
+                # Decode the analytic face coding (see bvh_closest_pallas).
+                ana = face <= -2
+                code = (-face) - 2
+                mface = jnp.clip(face, 0, pack.face_inst.shape[0] - 1)
+                kind = jnp.where(ana, (code >> 1) & 1, KIND_MESH)
+                inst = jnp.where(ana, code >> 2, pack.face_inst[mface])
+                face = jnp.where(ana, -1, face)
+                upd = t < best_t
+                best_t = jnp.where(upd, t, best_t)
+                best_kind = jnp.where(upd, kind, best_kind)
+                best_inst = jnp.where(upd, inst, best_inst)
+                best_face = jnp.where(upd, face, best_face)
+                best_front = jnp.where(upd, front, best_front)
+                return Hit(t=best_t, kind=best_kind, inst=best_inst,
+                           face=best_face, front=best_front,
+                           hit=best_t < BIG)
             t, face, front = bvh_closest_pallas(pack, 0, o, d, hit_side,
                                                 t_init=best_t)
         else:
@@ -360,7 +392,17 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
     t_max = jnp.broadcast_to(t_max, (n,))
     occ = jnp.zeros((n,), bool)
 
-    if _pallas_enabled() and (pack.n_sph or pack.n_pln):
+    # Same analytic-into-BVH-kernel fold as trace_closest.
+    use_pallas_bvh = False
+    fold_analytic = False
+    if pack.n_msh and _pallas_enabled():
+        from bhraytracer_tpu.ops.pallas_bvh import pallas_traversable
+
+        use_pallas_bvh = pallas_traversable(pack)
+        fold_analytic = use_pallas_bvh and not pack.treelets and bool(
+            pack.n_sph or pack.n_pln)
+
+    if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
         from bhraytracer_tpu.ops.pallas_trace import (
             analytic_shadow_pallas,
             instance_table,
@@ -372,7 +414,7 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
             sph_tab, pln_tab, o, d, t_max, shadow_bias,
             plane_world_bug=plane_extent_bug,
         )
-    elif pack.n_sph:
+    elif pack.n_sph and not _pallas_enabled():
         ol, dl = _to_local(pack.sph_itm, pack.sph_pos, o, d)
         a = dot(dl, dl)
         b = 2.0 * dot(dl, ol)
@@ -398,20 +440,26 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
         occ |= jnp.any(hit, axis=1)
 
     if pack.n_msh:
-        use_pallas_bvh = False
-        if _pallas_enabled():
-            from bhraytracer_tpu.ops.pallas_bvh import (
-                bvh_anyhit_pallas,
-                pallas_traversable,
-            )
-
-            use_pallas_bvh = pallas_traversable(pack)
-        # Lanes already occluded by analytic geometry carry t_max = 0 so the
-        # t-bounded box pruning retires them at the root.
-        tm_live = jnp.where(occ, 0.0, t_max)
         if use_pallas_bvh:
+            from bhraytracer_tpu.ops.pallas_bvh import bvh_anyhit_pallas
+
+            if fold_analytic:
+                from bhraytracer_tpu.ops.pallas_trace import instance_table
+
+                sph_tab = (instance_table(pack.sph_itm, pack.sph_pos)
+                           if pack.n_sph else None)
+                pln_tab = (instance_table(pack.pln_itm, pack.pln_pos)
+                           if pack.n_pln else None)
+                return occ | bvh_anyhit_pallas(
+                    pack, 0, o, d, MESH_SHADOW_BIAS, t_max,
+                    sph_tab=sph_tab, pln_tab=pln_tab,
+                    ana_bias=shadow_bias, plane_world_bug=plane_extent_bug)
+            # Lanes already occluded by analytic geometry carry t_max = 0 so
+            # the t-bounded box pruning retires them at the root.
+            tm_live = jnp.where(occ, 0.0, t_max)
             occ |= bvh_anyhit_pallas(pack, 0, o, d, MESH_SHADOW_BIAS, tm_live)
         else:
+            tm_live = jnp.where(occ, 0.0, t_max)
             occ |= bvh_anyhit(pack, 0, o, d, MESH_SHADOW_BIAS, tm_live)
 
     return occ
