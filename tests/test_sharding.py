@@ -52,6 +52,35 @@ def test_sharded_render_matches_single(scene):
     )
 
 
+def test_sharded_render_with_pallas_kernels(scene):
+    """dp-sharded lanes composed with the Pallas trace/shade kernels
+    (interpret mode here; validates the GSPMD composition of the sharded
+    render with kernel-bearing programs, not Mosaic partitioning)."""
+    from bhraytracer_tpu.ops import trace as T
+
+    pack, cam, cfg, cam_p = scene
+    cfg = dataclasses.replace(cfg, differentiable=False)
+    mesh = make_mesh(8)
+    n = 512
+    idx = np.linspace(0, cam.width * cam.height - 1, n).astype(np.int64)
+    px = jnp.asarray(idx % cam.width, jnp.int32)
+    py = jnp.asarray(idx // cam.width, jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    T.set_pallas_mode("on")
+    try:
+        rad_sharded = render_radiance_sharded(
+            pack, cfg, cam_p, cam.width, cam.height, px, py, key, mesh
+        )
+        rad_single, _, _ = _render_chunk(
+            pack, cfg, cam_p, cam.width, cam.height, px, py, key)
+    finally:
+        T.set_pallas_mode("auto")
+    np.testing.assert_allclose(
+        np.asarray(rad_sharded), np.asarray(rad_single), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_train_step_reduces_loss(scene):
     """Inverse rendering: a few SGD steps on sharded lanes must reduce the
     loss toward a darker target (grads psum'd over the dp axis)."""
