@@ -153,11 +153,13 @@ def _headline(iters: int = 10):
     cam_p = from_scene_camera(cam)
 
     if jax.default_backend() == "tpu":
-        # The fused shade kernel is probed with a tiny compile first: if
-        # Mosaic rejects it on this hardware, the render falls back to the
-        # XLA shading path instead of failing the whole bench.
+        # Probe-compile the trace and shade kernels first: if Mosaic rejects
+        # either on this hardware, rendering falls back to the XLA paths
+        # instead of failing the whole bench.
         from bhraytracer_tpu.ops.pallas_shade import probe_shade_kernel
+        from bhraytracer_tpu.ops.trace import probe_trace_kernels
 
+        probe_trace_kernels(pack)
         probe_shade_kernel(pack, cfg)
 
     n = cfg.chunk_rays

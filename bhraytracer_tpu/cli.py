@@ -160,10 +160,12 @@ def cmd_render(args) -> int:
     import jax
 
     if jax.default_backend() == "tpu":
-        # Probe-compile the fused shade kernel; on a Mosaic failure the
-        # switch flips off and rendering uses the XLA shading path.
+        # Probe-compile the trace/shade kernels; on a Mosaic failure the
+        # switches flip off and rendering survives on the XLA paths.
         from bhraytracer_tpu.ops.pallas_shade import probe_shade_kernel
+        from bhraytracer_tpu.ops.trace import probe_trace_kernels
 
+        probe_trace_kernels(pack)
         probe_shade_kernel(pack, cfg)
 
     photon_map = None

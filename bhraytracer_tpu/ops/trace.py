@@ -67,6 +67,32 @@ def _pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def probe_trace_kernels(pack) -> bool:
+    """Compile + run the trace kernels on 8 lanes; on ANY failure (a Mosaic
+    lowering gap on real hardware) force pallas mode OFF so rendering
+    survives on the XLA paths. Callers that must not die mid-run (bench,
+    CLI) invoke this once per scene before rendering."""
+    if not _pallas_enabled():
+        return False
+    try:
+        import numpy as np
+
+        o = jnp.asarray(np.tile([[0.0, -8.0, 3.0]], (8, 1)), jnp.float32)
+        d = jnp.asarray(np.tile([[0.0, 1.0, -0.2]], (8, 1)), jnp.float32)
+        hit = trace_closest(pack, o, d, "front")
+        occ = trace_shadow(pack, o, d, jnp.ones((8,)), 1e-5)
+        jax.block_until_ready((hit.t, occ))
+        return True
+    except Exception as e:  # pragma: no cover - exercised on real TPU only
+        import sys
+
+        print(f"WARNING: pallas trace kernels unavailable "
+              f"({type(e).__name__}); falling back to XLA traversal",
+              file=sys.stderr)
+        set_pallas_mode("off")
+        return False
+
+
 class Hit(NamedTuple):
     t: jnp.ndarray  # (N,) f32 — BIG on miss
     kind: jnp.ndarray  # (N,) i32
