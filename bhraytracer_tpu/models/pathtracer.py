@@ -219,7 +219,7 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, u):
     return jnp.where((kind == 2)[:, None], vl_point, vl_other)
 
 
-def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
+def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask, reorder=True):
     """Light::Illuminate with one shadow trace (lights.h:46-64,
     PointLight.cpp:7-18). u: (N, >=2) uniforms. Returns (irradiance (N,3),
     n_shadow () i32 — lanes issuing a real shadow query)."""
@@ -252,6 +252,7 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
         t_max,
         cfg.shadow_bias,
         plane_extent_bug=cfg.parity_plane_shadow_bug,
+        reorder=reorder,
     )
     vis = jnp.where(occ & (is_point | is_direct) & mask, 0.0, 1.0)
 
@@ -271,13 +272,13 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask):
 
 
 def _direct_light(pack, cfg, surf: Surface, mtl: Mtl, new_spec_color, vn, vv, u, mask,
-                  pmap=None):
+                  pmap=None, reorder=True):
     n = surf.p.shape[0]
     lidx = _select_light(pack, u[:, 7])
     vl = _sample_in_light(pack, lidx, surf, mtl, new_spec_color, u)
     cos_theta = dot(vl, vn)
     irrad, n_shadow = _illuminate(pack, cfg, lidx, surf.p, u[:, 5:7],
-                                  mask & (cos_theta > 0))
+                                  mask & (cos_theta > 0), reorder=reorder)
     vh = normalize(vl + vv)
     diff = textured_color(
         pack, mtl.diffuse, mtl.diffuse_tm, surf.uvw, surf.duvw, taps=cfg.texture_sample_count
@@ -562,7 +563,9 @@ def _shade_level(
         o=jnp.where(act, tasks.o, _MISS_O),
         d=jnp.where(act, tasks.d, _MISS_D),
     )
-    hit = trace_closest(pack, tasks.o, tasks.d, "front")
+    # Level-0 camera rays arrive in scanline order — already coherent, so
+    # the packet kernels' reorder sort would only cost there.
+    hit = trace_closest(pack, tasks.o, tasks.d, "front", reorder=level != 0)
     shade = tasks.active & hit.hit
 
     # --- per-level uniforms in ONE threefry call (30 scattered
@@ -584,7 +587,8 @@ def _shade_level(
         vn, cos_phi1, refr_eff = fo.n, fo.cos_phi1, fo.refr_eff
         occ = trace_shadow(pack, fo.shadow_o, fo.shadow_d, fo.shadow_tmax,
                            cfg.shadow_bias,
-                           plane_extent_bug=cfg.parity_plane_shadow_bug)
+                           plane_extent_bug=cfg.parity_plane_shadow_bug,
+                           reorder=level != 0)
         vis = jnp.where(occ & fo.gate, 0.0, 1.0)
         # The point-light r^2 == 0 branch returns BIG regardless of
         # visibility (_illuminate's where order).
@@ -613,7 +617,7 @@ def _shade_level(
         # --- direct light ---
         direct, n_shadow = _direct_light(
             pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8], shade,
-            pmap=pmap,
+            pmap=pmap, reorder=level != 0,
         )
 
     # --- refraction chain on COMPACTED refractive lanes ---

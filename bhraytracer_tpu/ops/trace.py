@@ -284,8 +284,14 @@ def bvh_anyhit(pack, root, o, d, t_min: float, t_max):
 # ---------------------------------------------------------------------------
 
 
-def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
-    """Closest hit over all instances. o, d: (N,3) world rays."""
+def trace_closest(pack, o, d, hit_side: str = "front",
+                  reorder: bool = True) -> Hit:
+    """Closest hit over all instances. o, d: (N,3) world rays.
+
+    reorder=False skips the packet kernels' coherence sort — correct for
+    any input (per-lane results don't depend on tile grouping), profitable
+    when the lanes are already coherent (level-0 camera rays arrive in
+    scanline order)."""
     # The whole query is discrete-valued (ids + aux t): freeze every input so
     # reverse-mode AD never differentiates the traversal while_loops.
     # resolve_hit recomputes the interaction differentiably from the ids.
@@ -364,7 +370,7 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
                            if pack.n_pln else None)
                 t, face, front = bvh_closest_pallas(
                     pack, 0, o, d, hit_side, t_init=best_t,
-                    sph_tab=sph_tab, pln_tab=pln_tab)
+                    reorder=reorder, sph_tab=sph_tab, pln_tab=pln_tab)
                 # Decode the analytic face coding (see bvh_closest_pallas).
                 ana = face <= -2
                 code = (-face) - 2
@@ -382,7 +388,8 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
                            face=best_face, front=best_front,
                            hit=best_t < BIG)
             t, face, front = bvh_closest_pallas(pack, 0, o, d, hit_side,
-                                                t_init=best_t)
+                                                t_init=best_t,
+                                                reorder=reorder)
         else:
             t, face, front = bvh_closest(pack, 0, o, d, hit_side, best_t)
         upd = t < best_t
@@ -403,7 +410,8 @@ def trace_closest(pack, o, d, hit_side: str = "front") -> Hit:
     )
 
 
-def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool = False):
+def trace_shadow(pack, o, d, t_max, shadow_bias: float,
+                 plane_extent_bug: bool = False, reorder: bool = True):
     """Boolean occlusion query (ShadowRayRecursive, GenLight.cpp:15-69).
 
     t_max: (N,) or scalar. `plane_extent_bug=True` reproduces the reference's
@@ -477,13 +485,14 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float, plane_extent_bug: bool =
                 pln_tab = (instance_table(pack.pln_itm, pack.pln_pos)
                            if pack.n_pln else None)
                 return occ | bvh_anyhit_pallas(
-                    pack, 0, o, d, MESH_SHADOW_BIAS, t_max,
+                    pack, 0, o, d, MESH_SHADOW_BIAS, t_max, reorder=reorder,
                     sph_tab=sph_tab, pln_tab=pln_tab,
                     ana_bias=shadow_bias, plane_world_bug=plane_extent_bug)
             # Lanes already occluded by analytic geometry carry t_max = 0 so
             # the t-bounded box pruning retires them at the root.
             tm_live = jnp.where(occ, 0.0, t_max)
-            occ |= bvh_anyhit_pallas(pack, 0, o, d, MESH_SHADOW_BIAS, tm_live)
+            occ |= bvh_anyhit_pallas(pack, 0, o, d, MESH_SHADOW_BIAS,
+                                     tm_live, reorder=reorder)
         else:
             tm_live = jnp.where(occ, 0.0, t_max)
             occ |= bvh_anyhit(pack, 0, o, d, MESH_SHADOW_BIAS, tm_live)
