@@ -52,11 +52,32 @@ MESH_SHADOW_BIAS = 1e-4
 # "on" forces them (interpreted off-TPU: tests), "off" disables.
 _PALLAS_MODE = "auto"
 
+# Divergent (per-row-stack) traversal for INCOHERENT queries (the ones that
+# arrive with reorder=True: GI/TIR/shadow wavefronts). "off" keeps the packet
+# kernel everywhere; "on" routes reorder=True mesh queries to
+# ops/pallas_bvh_divergent when the scene gate admits it. Off by default
+# until measured faster on hardware (tools/bench_incoherent.py).
+_DIVERGENT_MODE = "off"
+
 
 def set_pallas_mode(mode: str) -> None:
     global _PALLAS_MODE
     assert mode in ("auto", "on", "off")
     _PALLAS_MODE = mode
+
+
+def set_divergent_mode(mode: str) -> None:
+    global _DIVERGENT_MODE
+    assert mode in ("on", "off")
+    _DIVERGENT_MODE = mode
+
+
+def _divergent_enabled(pack, reorder: bool) -> bool:
+    if _DIVERGENT_MODE != "on" or not reorder:
+        return False
+    from bhraytracer_tpu.ops.pallas_bvh_divergent import divergent_traversable
+
+    return divergent_traversable(pack)
 
 
 def _pallas_enabled() -> bool:
@@ -310,12 +331,15 @@ def trace_closest(pack, o, d, hit_side: str = "front",
     # scenes and mesh-free scenes keep the dedicated analytic kernel.
     use_pallas_bvh = False
     fold_analytic = False
+    use_divergent = False
     if pack.n_msh and _pallas_enabled():
         from bhraytracer_tpu.ops.pallas_bvh import pallas_traversable
 
         use_pallas_bvh = pallas_traversable(pack)
-        fold_analytic = use_pallas_bvh and not pack.treelets and bool(
-            pack.n_sph or pack.n_pln)
+        use_divergent = use_pallas_bvh and _divergent_enabled(pack, reorder)
+        fold_analytic = (use_pallas_bvh and not use_divergent
+                         and not pack.treelets
+                         and bool(pack.n_sph or pack.n_pln))
 
     if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
         from bhraytracer_tpu.ops.pallas_trace import (
@@ -387,9 +411,17 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                 return Hit(t=best_t, kind=best_kind, inst=best_inst,
                            face=best_face, front=best_front,
                            hit=best_t < BIG)
-            t, face, front = bvh_closest_pallas(pack, 0, o, d, hit_side,
-                                                t_init=best_t,
-                                                reorder=reorder)
+            if use_divergent:
+                from bhraytracer_tpu.ops.pallas_bvh_divergent import (
+                    bvh_closest_divergent,
+                )
+
+                t, face, front = bvh_closest_divergent(
+                    pack, 0, o, d, hit_side, t_init=best_t, reorder=reorder)
+            else:
+                t, face, front = bvh_closest_pallas(pack, 0, o, d, hit_side,
+                                                    t_init=best_t,
+                                                    reorder=reorder)
         else:
             t, face, front = bvh_closest(pack, 0, o, d, hit_side, best_t)
         upd = t < best_t
@@ -429,12 +461,15 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
     # Same analytic-into-BVH-kernel fold as trace_closest.
     use_pallas_bvh = False
     fold_analytic = False
+    use_divergent = False
     if pack.n_msh and _pallas_enabled():
         from bhraytracer_tpu.ops.pallas_bvh import pallas_traversable
 
         use_pallas_bvh = pallas_traversable(pack)
-        fold_analytic = use_pallas_bvh and not pack.treelets and bool(
-            pack.n_sph or pack.n_pln)
+        use_divergent = use_pallas_bvh and _divergent_enabled(pack, reorder)
+        fold_analytic = (use_pallas_bvh and not use_divergent
+                         and not pack.treelets
+                         and bool(pack.n_sph or pack.n_pln))
 
     if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
         from bhraytracer_tpu.ops.pallas_trace import (
@@ -491,8 +526,16 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
             # Lanes already occluded by analytic geometry carry t_max = 0 so
             # the t-bounded box pruning retires them at the root.
             tm_live = jnp.where(occ, 0.0, t_max)
-            occ |= bvh_anyhit_pallas(pack, 0, o, d, MESH_SHADOW_BIAS,
-                                     tm_live, reorder=reorder)
+            if use_divergent:
+                from bhraytracer_tpu.ops.pallas_bvh_divergent import (
+                    bvh_anyhit_divergent,
+                )
+
+                occ |= bvh_anyhit_divergent(pack, 0, o, d, MESH_SHADOW_BIAS,
+                                            tm_live, reorder=reorder)
+            else:
+                occ |= bvh_anyhit_pallas(pack, 0, o, d, MESH_SHADOW_BIAS,
+                                         tm_live, reorder=reorder)
         else:
             tm_live = jnp.where(occ, 0.0, t_max)
             occ |= bvh_anyhit(pack, 0, o, d, MESH_SHADOW_BIAS, tm_live)

@@ -80,9 +80,16 @@ def main() -> None:
     if pack.n_msh:
         from bhraytracer_tpu.ops.linalg import BIG
         from bhraytracer_tpu.ops.pallas_bvh import bvh_closest_pallas
+        from bhraytracer_tpu.ops.pallas_bvh_divergent import (
+            bvh_anyhit_divergent,
+            bvh_closest_divergent,
+            divergent_traversable,
+        )
+        from bhraytracer_tpu.ops.pallas_bvh import bvh_anyhit_pallas
         from bhraytracer_tpu.ops.pallas_bvh_subpacket import (
             bvh_closest_subpacket,
         )
+        from bhraytracer_tpu.ops.trace import MESH_SHADOW_BIAS
 
         ti = jnp.full((n,), BIG)
         timed("bvh only (packet kernel)",
@@ -91,6 +98,19 @@ def main() -> None:
         timed("bvh only (sub-packet kernel)",
               jax.jit(lambda o, d: bvh_closest_subpacket(pack, 0, o, d,
                                                          "front", ti)[0]))
+        if divergent_traversable(pack):
+            timed("bvh only (divergent kernel)",
+                  jax.jit(lambda o, d: bvh_closest_divergent(pack, 0, o, d,
+                                                             "front", ti)[0]))
+            tm = jnp.ones((n,))
+            timed("anyhit (packet kernel)",
+                  jax.jit(lambda o, d: bvh_anyhit_pallas(
+                      pack, 0, o, d, MESH_SHADOW_BIAS, tm)))
+            timed("anyhit (divergent kernel)",
+                  jax.jit(lambda o, d: bvh_anyhit_divergent(
+                      pack, 0, o, d, MESH_SHADOW_BIAS, tm)))
+        else:
+            print("divergent kernel: gated off for this scene")
 
 
 if __name__ == "__main__":
