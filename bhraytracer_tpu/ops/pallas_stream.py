@@ -1,0 +1,250 @@
+"""Pallas TPU streaming (brute-force) triangle intersection.
+
+For INCOHERENT wavefronts over small-to-moderate meshes, hierarchical
+traversal stops paying: a fully-incoherent (8,128) tile's union covers most
+of the tree, so the packet kernel (ops/pallas_bvh.py) executes ~as many
+vector tests as brute force WHILE ALSO paying, per visited node, a scalar
+stack chain, a dynamic row fetch, any-hit vote reductions, and a
+while_loop iteration sync.  Measured on the bench_incoherent population
+(65K scattered rays, 1408-face teapot): the packet kernel performs ~1663
+vector tests per tile (934 triangle + 729 box) vs exactly 1408 for brute
+force — similar vector work, entirely different overhead.
+
+This kernel just streams EVERY face past every ray with zero control flow:
+
+  - rays are laid out (1, 1024) per block; face slabs are loaded 8 rows at
+    a time with statically-striding `pl.ds`, so each vector op tests
+    8 FACES x 1024 RAYS at once ((8,1024) = 8 vregs) — a static,
+    software-pipelineable loop with no stack, no votes, no sync;
+  - the triangle test uses precomputed AFFINE BARYCENTRIC row constants
+    (unit plane equation + two barycentric gradient/offset pairs, built
+    in-jit from the shared pallas_faces table): ~2/3 the arithmetic of the
+    dominant-axis signed-area test, mathematically the same inside set
+    (b0,b1,b2 >= 0 covers the all-neg orientation too, TriObj.cpp:105-168);
+  - per-slab winners fold into the running best with one masked min over
+    the 8-face sublane axis (face id and front flag packed into one int32
+    so the tie rule stays consistent);
+  - throughput is COHERENCE-INDEPENDENT — like the reference's per-ray
+    ordered descent (TriObj.cpp:192-270), there is nothing to diverge —
+    so no coherence sort is needed (saves the argsort too).
+
+Boundary behavior: the affine-barycentric inside test agrees with the
+dominant-axis test except within float rounding of an edge, so a
+seam-crossing ray can pick the adjacent face (same t).  Parity tests
+compare t everywhere and allow rare face-id swaps at equal t.
+
+Use for reorder=True (secondary/GI/TIR/shadow) queries on scenes passing
+`stream_traversable`; camera rays and big meshes keep the packet kernel.
+Routed via trace.set_stream_mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bhraytracer_tpu.ops.intersect import PERP_EPS
+from bhraytracer_tpu.ops.linalg import BIG
+
+RLANES = 1024  # rays per block (one (1,1024) row = 8 physical vregs)
+SLAB = 8  # faces tested per vector op (sublane dim)
+# Above this face count the O(F) stream loses to the packet kernel's
+# culling even on incoherent rays (the union stops saturating the tree).
+STREAM_MAX_FACES = 8192
+
+# Python int (NOT a jnp scalar: importing this module must not touch the
+# device backend); weak-typed promotion keeps int32 in the kernels below.
+_BIGI = 2 ** 30
+
+
+def stream_traversable(pack) -> bool:
+    return (not pack.treelets
+            and int(pack.pallas_faces.shape[0]) <= STREAM_MAX_FACES)
+
+
+def _stream_table(pack):
+    """(F_pad, 16) f32 streaming rows from the packed face table:
+    [n_hat (3), nhat_dot_v0 (1), g0 (3), c0 (1), g1 (3), c1 (1), pad (4)]
+    where b0(P) = g0.P + c0 and b1(P) = g1.P + c1 are the affine
+    barycentric weights of v0 and v1 (b2 = 1 - b0 - b1)."""
+    f = pack.pallas_faces
+    v0, v1, v2 = f[:, 0:3], f[:, 3:6], f[:, 6:9]
+    n = f[:, 9:12]
+    inv_nlen = f[:, 13:14]
+    nn = jnp.maximum(jnp.sum(n * n, axis=1, keepdims=True), 1e-30)
+    g0 = jnp.cross(n, v2 - v1) / nn
+    c0 = -jnp.sum(g0 * v1, axis=1, keepdims=True)
+    g1 = jnp.cross(n, v0 - v2) / nn
+    c1 = -jnp.sum(g1 * v2, axis=1, keepdims=True)
+    nhat = n * inv_nlen
+    ndot0 = jnp.sum(nhat * v0, axis=1, keepdims=True)
+    rows = jnp.concatenate(
+        [nhat, ndot0, g0, c0, g1, c1, jnp.zeros((f.shape[0], 4), f.dtype)], 1)
+    pad = (-rows.shape[0]) % SLAB
+    if pad:
+        # Padding rows have nhat = 0 -> pd = 0 -> grazing-culled everywhere.
+        rows = jnp.concatenate([rows, jnp.zeros((pad, 16), rows.dtype)])
+    return rows
+
+
+def _pad_blocks(o, d):
+    n = o.shape[0]
+    g = -(-n // RLANES)
+    pad = g * RLANES - n
+
+    def prep(x):
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+        return x.reshape(g, RLANES)
+
+    return [prep(o[:, k]) for k in range(3)] + [prep(d[:, k]) for k in range(3)], n
+
+
+def _slab_test(slab, pox, poy, poz, pdx, pdy, pdz, inv_dlen, side: int):
+    """Test SLAB faces against the (1,RLANES) ray row -> (SLAB,RLANES)
+    (t, front_i32, ok)."""
+    nx, ny, nz = slab[:, 0:1], slab[:, 1:2], slab[:, 2:3]
+    nd0 = slab[:, 3:4]
+    tdiv = nx * pdx + ny * pdy + nz * pdz  # n_hat . d
+    pd = tdiv * inv_dlen
+    ok = jnp.abs(pd) >= PERP_EPS
+    ndoto = nx * pox + ny * poy + nz * poz
+    t = (nd0 - ndoto) / jnp.where(tdiv == 0.0, 1e-30, tdiv)
+    ok &= t > 0.0
+    front = tdiv < 0.0
+    if side == 0:
+        ok &= front
+    elif side == 1:
+        ok &= ~front
+    hx = pox + t * pdx
+    hy = poy + t * pdy
+    hz = poz + t * pdz
+    b0 = slab[:, 4:5] * hx + slab[:, 5:6] * hy + slab[:, 6:7] * hz \
+        + slab[:, 7:8]
+    b1 = slab[:, 8:9] * hx + slab[:, 9:10] * hy + slab[:, 10:11] * hz \
+        + slab[:, 11:12]
+    b2 = 1.0 - b0 - b1
+    ok &= (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+    return t, front.astype(jnp.int32), ok
+
+
+def _closest_kernel(side: int, n_slabs: int,
+                    faces, ox, oy, oz, dx, dy, dz, tinit,
+                    t_out, face_out, front_out):
+    pox, poy, poz = ox[...], oy[...], oz[...]
+    pdx, pdy, pdz = dx[...], dy[...], dz[...]
+    inv_dlen = jax.lax.rsqrt(
+        jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
+    siota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
+
+    def body(s, carry):
+        t_best, bkey = carry
+        slab = faces[pl.ds(s * SLAB, SLAB), :]
+        t, front, ok = _slab_test(slab, pox, poy, poz, pdx, pdy, pdz,
+                                  inv_dlen, side)
+        tc = jnp.where(ok, t, BIG)
+        tmin = jnp.min(tc, axis=0, keepdims=True)  # (1,RLANES)
+        key = (s * SLAB + siota) * 2 + front  # face id * 2 + front
+        kmin = jnp.min(jnp.where(tc == tmin, key, _BIGI), axis=0,
+                       keepdims=True)
+        upd = tmin < t_best
+        return (jnp.where(upd, tmin, t_best), jnp.where(upd, kmin, bkey))
+
+    t0 = tinit[...]
+    k0 = jnp.full(t0.shape, -2, jnp.int32)  # decodes to face=-1, front=0
+    t_best, bkey = jax.lax.fori_loop(0, n_slabs, body, (t0, k0))
+    t_out[...] = t_best
+    face_out[...] = jnp.where(bkey >= 0, bkey >> 1, -1)
+    front_out[...] = jnp.where(bkey >= 0, bkey & 1, 0)
+
+
+def _anyhit_kernel(n_slabs: int, bias: float,
+                   faces, ox, oy, oz, dx, dy, dz, tmax,
+                   occ_out):
+    pox, poy, poz = ox[...], oy[...], oz[...]
+    pdx, pdy, pdz = dx[...], dy[...], dz[...]
+    tm = tmax[...]
+    inv_dlen = jax.lax.rsqrt(
+        jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
+
+    def body(s, occ):
+        slab = faces[pl.ds(s * SLAB, SLAB), :]
+        t, _, ok = _slab_test(slab, pox, poy, poz, pdx, pdy, pdz,
+                              inv_dlen, 0)  # front-only (TraceBVHShadow)
+        hit = ok & (t > bias) & (t < tm)
+        return jnp.maximum(occ, jnp.max(hit.astype(jnp.int32), axis=0,
+                                        keepdims=True))
+
+    occ = jax.lax.fori_loop(0, n_slabs, body,
+                            jnp.zeros(tm.shape, jnp.int32))
+    occ_out[...] = occ
+
+
+def stream_closest(pack, o, d, hit_side: str, t_init=None):
+    """Streaming closest hit; same contract as bvh_closest_pallas without
+    the analytic fold (t_init seeds pruning of the final compare only —
+    every face is tested regardless, that is the point)."""
+    if t_init is None:
+        t_init = jnp.full((o.shape[0],), BIG)
+    comps, n = _pad_blocks(o, d)
+    g = comps[0].shape[0]
+    side = {"front": 0, "back": 1, "both": 2}[hit_side]
+    pad = g * RLANES - n
+    ti = (
+        jnp.concatenate([t_init.astype(jnp.float32),
+                         jnp.zeros((pad,), jnp.float32)])
+        if pad else t_init.astype(jnp.float32)
+    ).reshape(g, RLANES)
+    faces = _stream_table(pack)
+    n_slabs = faces.shape[0] // SLAB
+    kernel = functools.partial(_closest_kernel, side, n_slabs)
+    ray_spec = pl.BlockSpec((1, RLANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    arr = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t, face, front = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[arr] + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, RLANES), jnp.float32),
+            jax.ShapeDtypeStruct((g, RLANES), jnp.int32),
+            jax.ShapeDtypeStruct((g, RLANES), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(faces, *comps, ti)
+    return (
+        t.reshape(-1)[:n],
+        face.reshape(-1)[:n],
+        front.reshape(-1)[:n].astype(bool),
+    )
+
+
+def stream_anyhit(pack, o, d, t_min: float, t_max):
+    """Streaming any-hit (front-only mesh shadows, TriObj.cpp:272-307)."""
+    comps, n = _pad_blocks(o, d)
+    g = comps[0].shape[0]
+    tmax_full = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+    pad = g * RLANES - n
+    tmax_p = (
+        jnp.concatenate([tmax_full, jnp.zeros((pad,), jnp.float32)])
+        if pad else tmax_full
+    ).reshape(g, RLANES)
+    faces = _stream_table(pack)
+    n_slabs = faces.shape[0] // SLAB
+    kernel = functools.partial(_anyhit_kernel, n_slabs, t_min)
+    ray_spec = pl.BlockSpec((1, RLANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    arr = pl.BlockSpec(memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[arr] + [ray_spec] * 7,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((g, RLANES), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(faces, *comps, tmax_p)
+    return occ.reshape(-1)[:n].astype(bool)

@@ -52,12 +52,17 @@ MESH_SHADOW_BIAS = 1e-4
 # "on" forces them (interpreted off-TPU: tests), "off" disables.
 _PALLAS_MODE = "auto"
 
-# Divergent (per-row-stack) traversal for INCOHERENT queries (the ones that
-# arrive with reorder=True: GI/TIR/shadow wavefronts). "off" keeps the packet
-# kernel everywhere; "on" routes reorder=True mesh queries to
-# ops/pallas_bvh_divergent when the scene gate admits it. Off by default
-# until measured faster on hardware (tools/bench_incoherent.py).
+# Alternative mesh-traversal strategies for INCOHERENT queries (the ones
+# that arrive with reorder=True: GI/TIR/shadow wavefronts):
+#   - "stream": brute-force face streaming (ops/pallas_stream) — no stack,
+#     no sort, coherence-independent; wins when the tile union saturates
+#     the tree (small meshes, scattered rays);
+#   - "divergent": per-row SMEM-stack descent (ops/pallas_bvh_divergent).
+# Both OFF by default until measured faster on hardware
+# (tools/bench_incoherent.py compares every kernel). Stream wins the tie
+# when both are on and the scene passes both gates.
 _DIVERGENT_MODE = "off"
+_STREAM_MODE = "off"
 
 
 def set_pallas_mode(mode: str) -> None:
@@ -72,12 +77,26 @@ def set_divergent_mode(mode: str) -> None:
     _DIVERGENT_MODE = mode
 
 
+def set_stream_mode(mode: str) -> None:
+    global _STREAM_MODE
+    assert mode in ("on", "off")
+    _STREAM_MODE = mode
+
+
 def _divergent_enabled(pack, reorder: bool) -> bool:
     if _DIVERGENT_MODE != "on" or not reorder:
         return False
     from bhraytracer_tpu.ops.pallas_bvh_divergent import divergent_traversable
 
     return divergent_traversable(pack)
+
+
+def _stream_enabled(pack, reorder: bool) -> bool:
+    if _STREAM_MODE != "on" or not reorder:
+        return False
+    from bhraytracer_tpu.ops.pallas_stream import stream_traversable
+
+    return stream_traversable(pack)
 
 
 def _pallas_enabled() -> bool:
@@ -332,13 +351,16 @@ def trace_closest(pack, o, d, hit_side: str = "front",
     use_pallas_bvh = False
     fold_analytic = False
     use_divergent = False
+    use_stream = False
     if pack.n_msh and _pallas_enabled():
         from bhraytracer_tpu.ops.pallas_bvh import pallas_traversable
 
         use_pallas_bvh = pallas_traversable(pack)
-        use_divergent = use_pallas_bvh and _divergent_enabled(pack, reorder)
+        use_stream = use_pallas_bvh and _stream_enabled(pack, reorder)
+        use_divergent = (use_pallas_bvh and not use_stream
+                         and _divergent_enabled(pack, reorder))
         fold_analytic = (use_pallas_bvh and not use_divergent
-                         and not pack.treelets
+                         and not use_stream and not pack.treelets
                          and bool(pack.n_sph or pack.n_pln))
 
     if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
@@ -411,7 +433,12 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                 return Hit(t=best_t, kind=best_kind, inst=best_inst,
                            face=best_face, front=best_front,
                            hit=best_t < BIG)
-            if use_divergent:
+            if use_stream:
+                from bhraytracer_tpu.ops.pallas_stream import stream_closest
+
+                t, face, front = stream_closest(pack, o, d, hit_side,
+                                                t_init=best_t)
+            elif use_divergent:
                 from bhraytracer_tpu.ops.pallas_bvh_divergent import (
                     bvh_closest_divergent,
                 )
@@ -462,13 +489,16 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
     use_pallas_bvh = False
     fold_analytic = False
     use_divergent = False
+    use_stream = False
     if pack.n_msh and _pallas_enabled():
         from bhraytracer_tpu.ops.pallas_bvh import pallas_traversable
 
         use_pallas_bvh = pallas_traversable(pack)
-        use_divergent = use_pallas_bvh and _divergent_enabled(pack, reorder)
+        use_stream = use_pallas_bvh and _stream_enabled(pack, reorder)
+        use_divergent = (use_pallas_bvh and not use_stream
+                         and _divergent_enabled(pack, reorder))
         fold_analytic = (use_pallas_bvh and not use_divergent
-                         and not pack.treelets
+                         and not use_stream and not pack.treelets
                          and bool(pack.n_sph or pack.n_pln))
 
     if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
@@ -526,7 +556,11 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
             # Lanes already occluded by analytic geometry carry t_max = 0 so
             # the t-bounded box pruning retires them at the root.
             tm_live = jnp.where(occ, 0.0, t_max)
-            if use_divergent:
+            if use_stream:
+                from bhraytracer_tpu.ops.pallas_stream import stream_anyhit
+
+                occ |= stream_anyhit(pack, o, d, MESH_SHADOW_BIAS, tm_live)
+            elif use_divergent:
                 from bhraytracer_tpu.ops.pallas_bvh_divergent import (
                     bvh_anyhit_divergent,
                 )

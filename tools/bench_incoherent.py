@@ -98,6 +98,16 @@ def main() -> None:
         timed("bvh only (sub-packet kernel)",
               jax.jit(lambda o, d: bvh_closest_subpacket(pack, 0, o, d,
                                                          "front", ti)[0]))
+        from bhraytracer_tpu.ops.pallas_stream import (
+            stream_anyhit,
+            stream_closest,
+            stream_traversable,
+        )
+
+        if stream_traversable(pack):
+            timed("bvh only (streaming kernel)",
+                  jax.jit(lambda o, d: stream_closest(pack, o, d,
+                                                      "front", ti)[0]))
         if divergent_traversable(pack):
             timed("bvh only (divergent kernel)",
                   jax.jit(lambda o, d: bvh_closest_divergent(pack, 0, o, d,
@@ -109,6 +119,10 @@ def main() -> None:
             timed("anyhit (divergent kernel)",
                   jax.jit(lambda o, d: bvh_anyhit_divergent(
                       pack, 0, o, d, MESH_SHADOW_BIAS, tm)))
+            if stream_traversable(pack):
+                timed("anyhit (streaming kernel)",
+                      jax.jit(lambda o, d: stream_anyhit(
+                          pack, o, d, MESH_SHADOW_BIAS, tm)))
         else:
             print("divergent kernel: gated off for this scene")
 
