@@ -333,6 +333,7 @@ def _scaling_curve():
     available in this environment; this validates the dp sharding adds no
     serialization, not ICI bandwidth). Runs in a subprocess so the CPU
     platform + device-count flags apply before JAX init."""
+    import os
     import subprocess
     import sys
 

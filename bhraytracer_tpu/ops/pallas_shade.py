@@ -345,12 +345,15 @@ def _shade_kernel(n_sph: int, n_pln: int, n_msh: int, n_mtl: int,
     # ---- one-light selection (MtlBlinn.cpp:309-315, no pmf compensation) --
     u7 = u[7]
     lsel = jnp.full(kind.shape, float(n_lights - 1))
-    found = jnp.zeros(kind.shape, bool)
+    # f32 carry, not bool: a bool VECTOR CONSTANT lowers through an i8
+    # splat + trunci that Mosaic rejects ("Unsupported target bitwidth
+    # for truncation").
+    found = jnp.zeros(kind.shape, jnp.float32)
     for k in range(n_lights):
         ok = u7 <= light_ref[k, 8]
-        take = ok & ~found
+        take = ok & (found == 0.0)
         lsel = jnp.where(take, float(k), lsel)
-        found |= ok
+        found = jnp.where(ok, 1.0, found)
     lrow = _fetch_row(light_ref, lsel, list(range(8)), n_lights)
     lkind = lrow[0]
     intensity = (lrow[1], lrow[2], lrow[3])

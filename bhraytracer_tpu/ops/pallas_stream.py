@@ -98,7 +98,10 @@ def _pad_blocks(o, d):
 
     def prep(x):
         x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
-        return x.reshape(g, RLANES)
+        # (g, 1, RLANES): the per-row block (1, 1, RLANES) then EQUALS the
+        # array in its last two dims, which Mosaic requires when the
+        # sublane dim is not a multiple of 8.
+        return x.reshape(g, 1, RLANES)
 
     return [prep(o[:, k]) for k in range(3)] + [prep(d[:, k]) for k in range(3)], n
 
@@ -134,8 +137,8 @@ def _slab_test(slab, pox, poy, poz, pdx, pdy, pdz, inv_dlen, side: int):
 def _closest_kernel(side: int, n_slabs: int,
                     faces, ox, oy, oz, dx, dy, dz, tinit,
                     t_out, face_out, front_out):
-    pox, poy, poz = ox[...], oy[...], oz[...]
-    pdx, pdy, pdz = dx[...], dy[...], dz[...]
+    pox, poy, poz = ox[0], oy[0], oz[0]
+    pdx, pdy, pdz = dx[0], dy[0], dz[0]
     inv_dlen = jax.lax.rsqrt(
         jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
     siota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
@@ -153,20 +156,20 @@ def _closest_kernel(side: int, n_slabs: int,
         upd = tmin < t_best
         return (jnp.where(upd, tmin, t_best), jnp.where(upd, kmin, bkey))
 
-    t0 = tinit[...]
+    t0 = tinit[0]
     k0 = jnp.full(t0.shape, -2, jnp.int32)  # decodes to face=-1, front=0
     t_best, bkey = jax.lax.fori_loop(0, n_slabs, body, (t0, k0))
-    t_out[...] = t_best
-    face_out[...] = jnp.where(bkey >= 0, bkey >> 1, -1)
-    front_out[...] = jnp.where(bkey >= 0, bkey & 1, 0)
+    t_out[0] = t_best
+    face_out[0] = jnp.where(bkey >= 0, bkey >> 1, -1)
+    front_out[0] = jnp.where(bkey >= 0, bkey & 1, 0)
 
 
 def _anyhit_kernel(n_slabs: int, bias: float,
                    faces, ox, oy, oz, dx, dy, dz, tmax,
                    occ_out):
-    pox, poy, poz = ox[...], oy[...], oz[...]
-    pdx, pdy, pdz = dx[...], dy[...], dz[...]
-    tm = tmax[...]
+    pox, poy, poz = ox[0], oy[0], oz[0]
+    pdx, pdy, pdz = dx[0], dy[0], dz[0]
+    tm = tmax[0]
     inv_dlen = jax.lax.rsqrt(
         jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
 
@@ -180,7 +183,7 @@ def _anyhit_kernel(n_slabs: int, bias: float,
 
     occ = jax.lax.fori_loop(0, n_slabs, body,
                             jnp.zeros(tm.shape, jnp.int32))
-    occ_out[...] = occ
+    occ_out[0] = occ
 
 
 def stream_closest(pack, o, d, hit_side: str, t_init=None):
@@ -197,11 +200,11 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None):
         jnp.concatenate([t_init.astype(jnp.float32),
                          jnp.zeros((pad,), jnp.float32)])
         if pad else t_init.astype(jnp.float32)
-    ).reshape(g, RLANES)
+    ).reshape(g, 1, RLANES)
     faces = _stream_table(pack)
     n_slabs = faces.shape[0] // SLAB
     kernel = functools.partial(_closest_kernel, side, n_slabs)
-    ray_spec = pl.BlockSpec((1, RLANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     t, face, front = pl.pallas_call(
@@ -210,9 +213,9 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None):
         in_specs=[arr] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((g, RLANES), jnp.float32),
-            jax.ShapeDtypeStruct((g, RLANES), jnp.int32),
-            jax.ShapeDtypeStruct((g, RLANES), jnp.int32),
+            jax.ShapeDtypeStruct((g, 1, RLANES), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
+            jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(faces, *comps, ti)
@@ -232,11 +235,11 @@ def stream_anyhit(pack, o, d, t_min: float, t_max):
     tmax_p = (
         jnp.concatenate([tmax_full, jnp.zeros((pad,), jnp.float32)])
         if pad else tmax_full
-    ).reshape(g, RLANES)
+    ).reshape(g, 1, RLANES)
     faces = _stream_table(pack)
     n_slabs = faces.shape[0] // SLAB
     kernel = functools.partial(_anyhit_kernel, n_slabs, t_min)
-    ray_spec = pl.BlockSpec((1, RLANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
@@ -244,7 +247,7 @@ def stream_anyhit(pack, o, d, t_min: float, t_max):
         grid=(g,),
         in_specs=[arr] + [ray_spec] * 7,
         out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((g, RLANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
         interpret=jax.default_backend() != "tpu",
     )(faces, *comps, tmax_p)
     return occ.reshape(-1)[:n].astype(bool)

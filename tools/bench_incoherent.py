@@ -63,12 +63,19 @@ def main() -> None:
     d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
 
     def timed(name, fn):
-        jax.block_until_ready(fn(o, d))
-        t0 = time.time()
-        out = None
-        for _ in range(args.iters):
-            out = fn(o, d)
-        jax.block_until_ready(out)
+        # One kernel failing to lower (Mosaic gaps show up on hardware
+        # only) must not kill the rest of the sweep.
+        try:
+            jax.block_until_ready(fn(o, d))
+            t0 = time.time()
+            out = None
+            for _ in range(args.iters):
+                out = fn(o, d)
+            jax.block_until_ready(out)
+        except Exception as e:
+            print(f"{name}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:200]})", flush=True)
+            return
         ms = (time.time() - t0) / args.iters * 1e3
         print(f"{name}: {ms:.2f} ms for {n} rays "
               f"({n / ms / 1e3:.1f}M rays/s) on {jax.default_backend()}",
