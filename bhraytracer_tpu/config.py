@@ -96,6 +96,12 @@ class RenderConfig:
     # refraction capacity + lossless TIR chain (one extra compile set, paid
     # only when a loss is detected).
     adaptive_full_capacity: bool = True
+    # Chunks kept in flight (dispatched, unharvested) during render_image:
+    # host dispatch of the next chunks overlaps device compute of the
+    # current one, hiding the remote-TPU tunnel's per-dispatch latency.
+    # Memory cost: window * chunk live accum/z buffers (small next to the
+    # shade tree's working set).
+    inflight_chunks: int = 3
 
     # Refraction-child compaction: each level reserves capacity for at most
     # ceil(N * refr_capacity) refraction children (rounded up to 128 lanes).

@@ -921,6 +921,31 @@ def _stage_raygen(pack, cfg, cam, width, height, px, py, key):
 
 
 _stage_raygen_jit = jax.jit(_stage_raygen, static_argnames=("cfg", "width", "height"))
+
+
+def _stage_raygen_at(pack, cfg, cam, width, height, chunk, start, base_key,
+                     sample):
+    """Device-side chunk setup: lane pixel indices from a `start` scalar
+    (iota + offset) and the chunk RNG key folded in-jit.
+
+    Replaces the per-chunk host->device px/py upload (2x256KB over the
+    remote-TPU tunnel, measured ~100ms/chunk of synchronous transfer that
+    serialized dispatch — the round-2 "6x orchestration gap"). The key chain
+    fold_in(fold_in(base_key, sample), start) matches the eager host-side
+    chain bit-for-bit (threefry folding is deterministic under trace).
+    `start`/`sample` are dynamic scalars: every chunk and sample shares ONE
+    compiled program."""
+    total = width * height
+    idx = jnp.minimum(start + jnp.arange(chunk, dtype=jnp.int32), total - 1)
+    px = idx % width
+    py = idx // width
+    ck = jax.random.fold_in(jax.random.fold_in(base_key, sample), start)
+    o, d, bg, dd_x, dd_y = _stage_raygen(pack, cfg, cam, width, height, px, py, ck)
+    return o, d, bg, dd_x, dd_y, ck
+
+
+_stage_raygen_at_jit = jax.jit(
+    _stage_raygen_at, static_argnames=("cfg", "width", "height", "chunk"))
 _shade_level_jit = jax.jit(_shade_level, static_argnames=("cfg", "level"))
 _combine_level_jit = jax.jit(_combine_level, static_argnames=("cfg", "level"))
 
@@ -954,6 +979,26 @@ def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
     buffers (accum, zbuf). Returns (accum, zbuf, ChunkStats) — plus an
     (albedo, normal) pair of first-hit denoiser aux buffers when want_aux."""
     o, d, bg, dd_x, dd_y = _stage_raygen_jit(pack, cfg, cam, width, height, px, py, key)
+    return _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, key, pmap,
+                          accum, zbuf, first, want_aux)
+
+
+def render_chunk_staged_at(pack, cfg, cam, width, height, chunk, start, key,
+                           sample, pmap, accum, zbuf, first: bool,
+                           want_aux: bool = False):
+    """render_chunk_staged with DEVICE-SIDE lane-index generation: pixel
+    indices come from `start` (a dynamic scalar) via iota, and the chunk RNG
+    key is folded in-jit — no per-chunk host->device uploads, so chunks of a
+    full image pipeline back-to-back on device (the reference renders whole
+    images, viewport.cpp:404-409; this is the full-image hot path)."""
+    o, d, bg, dd_x, dd_y, ck = _stage_raygen_at_jit(
+        pack, cfg, cam, width, height, chunk, start, key, sample)
+    return _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, ck, pmap,
+                          accum, zbuf, first, want_aux)
+
+
+def _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, key, pmap,
+                   accum, zbuf, first: bool, want_aux: bool):
     n = o.shape[0]
     tasks = Tasks(
         o=o, d=d,
@@ -1040,54 +1085,50 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
             accum, zbuffer, done = state
             accum = accum.copy(); zbuffer = zbuffer.copy(); done = done.copy()
     # Lanes are (pixel, sample); chunk over pixels, loop samples to bound
-    # memory; each chunk runs through the per-level staged driver.
-    for start in range(0, total, chunk):
-        if done[start // chunk]:
-            continue
-        stop = min(start + chunk, total)
-        count = stop - start
-        # Pad the tail chunk to the full chunk shape: every chunk then shares
-        # one compiled program per stage (a remainder-shaped chunk would
-        # otherwise trigger a second full set of XLA compiles).
-        idx = np.arange(start, start + chunk)
-        idx = np.minimum(idx, total - 1)
-        px = jnp.asarray(idx % width, jnp.int32)
-        py = jnp.asarray(idx // width, jnp.int32)
-        def run_chunk(cfg_run):
-            # Stats accumulate on device; ONE host fetch per chunk keeps the
-            # spp loop asynchronously queued.
-            acc_d = jnp.zeros((chunk, 3))
-            z_d = jnp.full((chunk,), BIG)
-            st_acc = None
-            aux_d = None
-            for s in range(spp):
-                ck = jax.random.fold_in(
-                    jax.random.fold_in(key, s + sample_offset), start)
-                out = render_chunk_staged(
-                    pack, cfg_run, cam, width, height, px, py, ck, photon_map,
-                    acc_d, z_d, s == 0, want_aux=(want_aux and s == 0),
-                )
-                if want_aux and s == 0:
-                    acc_d, z_d, st, aux_d = out
-                else:
-                    acc_d, z_d, st = out
-                st_acc = st if st_acc is None else jax.tree.map(
-                    jnp.add, st_acc, st)
-            return acc_d, z_d, aux_d, np.asarray(
-                [int(st_acc.drop_refr), int(st_acc.drop_tir),
-                 int(st_acc.drop_gi), int(st_acc.segments)], np.int64)
+    # memory; each chunk runs through the per-level staged driver. Lane
+    # pixel indices are generated ON DEVICE from the chunk's start scalar
+    # and results are harvested through a bounded in-flight window, so host
+    # dispatch of chunk i+1..i+W overlaps device compute of chunk i (the
+    # round-2 per-chunk px/py uploads + blocking fetch serialized the
+    # remote-TPU tunnel and left the chip ~85% idle).
+    def run_chunk(cfg_run, start):
+        acc_d = jnp.zeros((chunk, 3))
+        z_d = jnp.full((chunk,), BIG)
+        st_acc = None
+        aux_d = None
+        for s in range(spp):
+            out = render_chunk_staged_at(
+                pack, cfg_run, cam, width, height, chunk,
+                jnp.int32(start), key, jnp.int32(s + sample_offset),
+                photon_map, acc_d, z_d, s == 0,
+                want_aux=(want_aux and s == 0),
+            )
+            if want_aux and s == 0:
+                acc_d, z_d, st, aux_d = out
+            else:
+                acc_d, z_d, st = out
+            st_acc = st if st_acc is None else jax.tree.map(
+                jnp.add, st_acc, st)
+        st_d = jnp.stack([st_acc.drop_refr, st_acc.drop_tir,
+                          st_acc.drop_gi, st_acc.segments])
+        return acc_d, z_d, aux_d, st_d
 
-        acc_d, z_d, aux_d, st_host = run_chunk(cfg)
+    def harvest(start, acc_d, z_d, aux_d, st_d):
+        nonlocal total_segments
+        st_host = np.asarray(st_d, np.int64)
         if st_host[:3].any() and cfg.adaptive_full_capacity:
             # Lossless re-render of this chunk: full refraction capacity and
-            # no TIR-tail compaction (one extra compile set, paid only when a
-            # drop is detected).
+            # no TIR-tail compaction (one extra compile set, paid only when
+            # a drop is detected).
             cfg_full = dataclasses.replace(
                 cfg, refr_capacity=1.0, tir_tail_compaction=False,
                 gi_capacity=1.0, adaptive_full_capacity=False,
             )
-            acc_d, z_d, aux_d, st_host = run_chunk(cfg_full)
-        total_drops += st_host[:3]
+            acc_d, z_d, aux_d, st_d = run_chunk(cfg_full, start)
+            st_host = np.asarray(st_d, np.int64)
+        stop = min(start + chunk, total)
+        count = stop - start
+        total_drops[:] += st_host[:3]
         total_segments += int(st_host[3])
         accum[start:stop] = np.asarray(acc_d, np.float32)[:count]
         zbuffer[start:stop] = np.asarray(z_d, np.float32)[:count]
@@ -1098,6 +1139,17 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
         if checkpoint_dir:
             save_render_state(checkpoint_dir, accum, zbuffer, done,
                               cfg, width, height, seed)
+
+    window = max(1, int(cfg.inflight_chunks))
+    pending = []
+    for start in range(0, total, chunk):
+        if done[start // chunk]:
+            continue
+        pending.append((start,) + run_chunk(cfg, start))
+        if len(pending) > window:
+            harvest(*pending.pop(0))
+    while pending:
+        harvest(*pending.pop(0))
 
     img = accum / spp
     if cfg.use_gamma:
