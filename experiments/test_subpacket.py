@@ -9,7 +9,7 @@ import pytest
 import jax.numpy as jnp
 
 from bhraytracer_tpu.ops.linalg import BIG
-from bhraytracer_tpu.ops.pallas_bvh_subpacket import (
+from experiments.pallas_bvh_subpacket import (
     bvh_anyhit_subpacket,
     bvh_closest_subpacket,
 )
