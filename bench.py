@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -119,19 +120,28 @@ def _tiny_scene_desc():
     return sd
 
 
-def _headline(iters: int = 10):
-    """Headline metric: ACTIVE traced segments/s on the reference's
-    compiled-in scene (proj12_backfaceTest) at 800x600, one 65536-lane chunk.
+def _headline(passes: int = 3):
+    """Headline metric: ACTIVE traced segments/s rendering the DISTINCT
+    chunks of the reference's compiled-in scene (proj12_backfaceTest,
+    800x600) — full-image style, the way the reference measures itself
+    (wall-clock per image, viewport.cpp:404-409). The round-2 number that
+    re-rendered ONE chunk 10x overstated realistic throughput ~9x
+    (VERDICT r2 #1); this renders every chunk of the image, `passes` times
+    with distinct sample keys, lane indices generated on device.
 
     "Active" counts real queries only (live closest hits + issued shadow
     rays + live refraction-chain trips) — NOT static level capacities; see
     LevelRecord.segs. The 2.5M/s baseline is the reference CPU's estimated
-    rate for the same unit of work (BASELINE.md)."""
+    rate for the same unit of work (BASELINE.md).
+
+    Returns (realistic_segs_per_sec, device_ceiling_segs_per_sec): the
+    ceiling leg re-submits one chunk back-to-back and bounds what the chip
+    could do with zero orchestration cost."""
     import jax
     import jax.numpy as jnp
 
     from bhraytracer_tpu.config import RenderConfig
-    from bhraytracer_tpu.models.pathtracer import render_chunk_staged
+    from bhraytracer_tpu.models.pathtracer import render_chunk_staged_at
     from bhraytracer_tpu.ops.camera import from_scene_camera
 
     pack, cam = _bench_scene()
@@ -163,29 +173,39 @@ def _headline(iters: int = 10):
         probe_shade_kernel(pack, cfg)
 
     n = cfg.chunk_rays
-    idx = np.arange(n)
-    px = jnp.asarray(idx % cam.width, jnp.int32)
-    py = jnp.asarray(idx // cam.width, jnp.int32)
-
+    total = cam.width * cam.height
     key = jax.random.PRNGKey(0)
+    # Scalars sliced from device arrays, never fresh host ints: a fresh
+    # host scalar as a jit arg costs ~100ms of synchronous transfer wait
+    # per dispatch on the tunneled TPU (tools/drill_dispatch.py).
+    n_chunks = -(-total // n)
+    starts_d = jnp.arange(n_chunks, dtype=jnp.int32) * n
+    samples_d = jnp.arange(passes + 12, dtype=jnp.int32)
 
-    def run(i):
+    def run(c, s):
         acc = jnp.zeros((n, 3))
         zb = jnp.full((n,), 1e30)
-        return render_chunk_staged(
-            pack, cfg, cam_p, cam.width, cam.height, px, py,
-            jax.random.fold_in(key, i), None, acc, zb, True,
+        return render_chunk_staged_at(
+            pack, cfg, cam_p, cam.width, cam.height, n, starts_d[c],
+            key, samples_d[s], None, acc, zb, True,
         )
 
-    jax.block_until_ready(run(0))  # compile all stages
+    jax.block_until_ready(run(0, 0))  # compile all stages
 
     t0 = time.perf_counter()
-    outs = [run(i + 1) for i in range(iters)]
+    outs = [run(c, s + 1) for s in range(passes) for c in range(n_chunks)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    realistic = sum(int(o[2].segments) for o in outs) / dt
 
-    segments = sum(int(out[2].segments) for out in outs)
-    return segments / dt
+    # Device ceiling: one chunk re-submitted back-to-back (pure device rate,
+    # zero orchestration variety) — reported separately, NEVER the headline.
+    t0 = time.perf_counter()
+    outs = [run(0, passes + 1 + i) for i in range(10)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    ceiling = sum(int(o[2].segments) for o in outs) / dt
+    return realistic, ceiling
 
 
 def _full_1024(spp: int = 1):
@@ -194,7 +214,7 @@ def _full_1024(spp: int = 1):
     import jax.numpy as jnp
 
     from bhraytracer_tpu.config import RenderConfig
-    from bhraytracer_tpu.models.pathtracer import render_chunk_staged
+    from bhraytracer_tpu.models.pathtracer import render_chunk_staged_at
     from bhraytracer_tpu.ops.camera import from_scene_camera
 
     pack, cam = _bench_scene()
@@ -206,23 +226,23 @@ def _full_1024(spp: int = 1):
     n = cfg.chunk_rays
     total = cam.width * cam.height
     key = jax.random.PRNGKey(0)
+    n_chunks = -(-total // n)
+    starts_d = jnp.arange(n_chunks, dtype=jnp.int32) * n
+    samples_d = jnp.arange(spp, dtype=jnp.int32)
 
-    def run_chunk(start, s):
-        idx = np.minimum(np.arange(start, start + n), total - 1)
-        px = jnp.asarray(idx % cam.width, jnp.int32)
-        py = jnp.asarray(idx // cam.width, jnp.int32)
+    def run_chunk(c, s):
         acc = jnp.zeros((n, 3))
         zb = jnp.full((n,), 1e30)
-        ck = jax.random.fold_in(jax.random.fold_in(key, s), start)
-        return render_chunk_staged(pack, cfg, cam_p, cam.width, cam.height,
-                                   px, py, ck, None, acc, zb, True)
+        return render_chunk_staged_at(pack, cfg, cam_p, cam.width, cam.height,
+                                      n, starts_d[c], key, samples_d[s],
+                                      None, acc, zb, True)
 
     jax.block_until_ready(run_chunk(0, 0))  # compile
     t0 = time.perf_counter()
     outs = []
     for s in range(spp):
-        for start in range(0, total, n):
-            outs.append(run_chunk(start, s))
+        for c in range(n_chunks):
+            outs.append(run_chunk(c, s))
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     segments = sum(int(o[2].segments) for o in outs)
@@ -264,7 +284,14 @@ def _fwd_bwd_1024(width: int = 1024, height: int = 1024,
     params = trainable_params(pack, cam_p)
 
     @jax.jit
-    def step(p, px, py, ck, target):
+    def step(p, start, target):
+        # Lane indices + chunk key derived in-jit from the start scalar (no
+        # per-chunk host uploads; same rationale as render_chunk_staged_at).
+        idx = jnp.minimum(start + jnp.arange(n, dtype=jnp.int32), total - 1)
+        px = idx % cam.width
+        py = idx // cam.width
+        ck = jax.random.fold_in(key, start)
+
         def loss_fn(p_):
             pk, cm = _apply_params(pack, cam_p, p_)
             rad, _, _ = _render_chunk(pk, cfg, cm, cam.width, cam.height,
@@ -273,18 +300,14 @@ def _fwd_bwd_1024(width: int = 1024, height: int = 1024,
 
         return jax.value_and_grad(loss_fn)(p)
 
-    def chunk_inputs(start):
-        idx = np.minimum(np.arange(start, start + n), total - 1)
-        px = jnp.asarray(idx % cam.width, jnp.int32)
-        py = jnp.asarray(idx // cam.width, jnp.int32)
-        ck = jax.random.fold_in(key, start)
-        return px, py, ck, jnp.zeros((n, 3))
-
-    jax.block_until_ready(step(params, *chunk_inputs(0)))  # compile
+    target0 = jnp.zeros((n, 3))
+    n_chunks = -(-total // n)
+    starts_d = jnp.arange(n_chunks, dtype=jnp.int32) * n
+    jax.block_until_ready(step(params, starts_d[0], target0))  # compile
     t0 = time.perf_counter()
     outs = []
-    for start in range(0, total, n):
-        outs.append(step(params, *chunk_inputs(start)))
+    for c in range(n_chunks):
+        outs.append(step(params, starts_d[c], target0))
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     return {"wall_s": round(dt, 3),
@@ -433,12 +456,16 @@ def main():
 
     enable_compilation_cache()
 
-    segs_per_sec = _headline()
+    segs_per_sec, ceiling = _headline()
     line = {
         "metric": "ray_segments_per_sec",
         "value": round(segs_per_sec),
         "unit": "segments/s",
         "vs_baseline": round(segs_per_sec / BASELINE_SEGMENTS_PER_SEC, 3),
+        "measurement": "distinct chunks of the full 800x600 image x3 passes "
+                       "(realistic full-image style; NOT same-chunk "
+                       "resubmission)",
+        "device_ceiling_segments_per_sec": round(ceiling),
     }
     if fallback:
         line["device_note"] = (

@@ -55,6 +55,12 @@ def _add_render_args(p):
                         "live in-progress view (viewport.cpp:354-366). The "
                         "final image draws exactly the same samples as a "
                         "single-pass render")
+    p.add_argument("--serve", type=int, metavar="PORT", default=0,
+                   help="serve a live auto-refreshing view of the render at "
+                        "http://localhost:PORT while it runs — the headless "
+                        "equivalent of the reference viewport's live "
+                        "in-progress window (viewport.cpp:94-139, 344-391); "
+                        "most useful with --progressive")
     p.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint render state per chunk; re-running with "
                         "the same args resumes (killed renders lose nothing)")
@@ -65,7 +71,7 @@ def _add_render_args(p):
 
 
 def _render_progressive(args, pack, cam, cfg, photon_map,
-                        image_to_u8, render_image, write_png):
+                        image_to_u8, render_image, write_png, liveview=None):
     """Progressive preview: K passes over the sample budget, rewriting the
     output PNG with the running mean after each. sample_offset keeps the
     union of the passes' RNG streams identical to a single-pass render, so
@@ -104,6 +110,8 @@ def _render_progressive(args, pack, cam, cfg, photon_map,
         if cfg.use_gamma:
             preview = np.power(np.maximum(preview, 0.0), 1.0 / cfg.gamma)
         write_png(args.output, image_to_u8(preview))
+        if liveview is not None:
+            liveview.note_pass(j + 1, spp_done)
         print(f"pass {j + 1}/{passes}: {spp_done}/{cfg.spp} spp in "
               f"{time.time() - t0:.1f}s -> {args.output}")
     img = accum / cfg.spp
@@ -183,13 +191,22 @@ def cmd_render(args) -> int:
                       np.asarray(photon_map.dirn), np.asarray(photon_map.power))
             print(f"wrote {args.save_photons}")
 
+    liveview = None
+    if args.serve:
+        from bhraytracer_tpu.utils.liveview import LiveView
+
+        liveview = LiveView(args.output, cfg.spp)
+        port = liveview.serve(args.serve)
+        print(f"live view: http://localhost:{port}/")
+
     t0 = time.time()
     if args.progressive and args.progressive > 1:
         if args.checkpoint:
             print("--progressive is incompatible with --checkpoint")
             return 2
         img, aux = _render_progressive(args, pack, cam, cfg, photon_map,
-                                       image_to_u8, render_image, write_png)
+                                       image_to_u8, render_image, write_png,
+                                       liveview=liveview)
     elif args.profile:
         import jax
 
@@ -214,6 +231,18 @@ def cmd_render(args) -> int:
         print(f"WARNING: dropped lanes (energy loss): {dropped}")
     write_png(args.output, image_to_u8(img))
     print(f"wrote {args.output}")
+    if liveview is not None:
+        liveview.note_pass(max(args.progressive, 1), cfg.spp)
+        liveview.finish()
+        # Keep the finished image viewable (the reference window stays open
+        # after rendering, viewport.cpp:399-410) — but only when a human is
+        # attached; scripts and tests exit immediately.
+        if sys.stdin.isatty():
+            try:
+                input("live view still serving - press Enter to exit ")
+            except EOFError:
+                pass
+        liveview.shutdown()
     if args.zbuffer:
         write_png(args.zbuffer, zbuffer_to_u8(aux["zbuffer"]))
         print(f"wrote {args.zbuffer}")

@@ -1091,6 +1091,14 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     # dispatch of chunk i+1..i+W overlaps device compute of chunk i (the
     # round-2 per-chunk px/py uploads + blocking fetch serialized the
     # remote-TPU tunnel and left the chip ~85% idle).
+    # start/sample scalars are SLICED from device arrays, never created
+    # fresh from host ints: on the tunneled-TPU backend a fresh host scalar
+    # as a jit argument forces a ~100ms synchronous transfer wait per
+    # dispatch, while a device-slice is a fully-async tiny program
+    # (tools/drill_dispatch.py: 108.3 -> 6.4 ms/chunk).
+    starts_d = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    samples_d = jnp.arange(spp, dtype=jnp.int32) + sample_offset
+
     def run_chunk(cfg_run, start):
         acc_d = jnp.zeros((chunk, 3))
         z_d = jnp.full((chunk,), BIG)
@@ -1099,7 +1107,7 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
         for s in range(spp):
             out = render_chunk_staged_at(
                 pack, cfg_run, cam, width, height, chunk,
-                jnp.int32(start), key, jnp.int32(s + sample_offset),
+                starts_d[start // chunk], key, samples_d[s],
                 photon_map, acc_d, z_d, s == 0,
                 want_aux=(want_aux and s == 0),
             )

@@ -380,8 +380,13 @@ def _shade_kernel(n_sph: int, n_pln: int, n_msh: int, n_mtl: int,
     ps = ks * p_specular
     pd_norm = _safe_div(pd, pd + ps)
     use_spec = u[4] >= pd_norm
-    use_spec = jnp.where((ks == 0.0) & (kd != 0.0), False, use_spec)
-    use_spec = jnp.where((ks != 0.0) & (kd == 0.0), True, use_spec)
+    # Boolean algebra, NOT jnp.where(c, True/False, x): a bool VECTOR
+    # CONSTANT lowers through an i8 splat + arith.trunci(i8->i1) that
+    # Mosaic rejects ("Unsupported target bitwidth for truncation") — the
+    # exact failure VERDICT r2 reproduced on hardware.
+    only_diffuse = (ks == 0.0) & (kd != 0.0)
+    only_spec = (ks != 0.0) & (kd == 0.0)
+    use_spec = (use_spec & ~only_diffuse) | only_spec
     vl_point = _where3(use_spec, _normalize3(s_vl), _normalize3(d_vl))
     nlvec = _normalize3(lvec)
     vl_other = _where3(is_direct, _neg3(nlvec), (zero, zero, zero))
@@ -424,7 +429,9 @@ def _shade_kernel(n_sph: int, n_pln: int, n_msh: int, n_mtl: int,
     gi_o = _add3(p_w, _scale3(n_w, bias))
     albedo = _where3(gi_spec, new_spec, diffuse)
 
-    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    # bool->f32 via select on f32 constants (astype(bool->f32) can lower
+    # through the same i8/i1 bit-width path Mosaic rejects).
+    f32 = lambda m: jnp.where(m, 1.0, 0.0)  # noqa: E731
     surf_ref[...] = jnp.stack(
         [p_w[0], p_w[1], p_w[2], n_w[0], n_w[1], n_w[2], z, mtl_id])
     shadow_ref[...] = jnp.stack(

@@ -103,6 +103,31 @@ def main() -> None:
     print(f"(b) 8 distinct chunks: {dt/8*1e3:.1f} ms/chunk, segs "
           f"{segs} -> {sum(segs)/dt/1e6:.2f}M segs/s", flush=True)
 
+    # (c) full-image style with DEVICE-SIDE lane-index generation (the r3
+    # render_image path: no px/py uploads, keys folded in-jit). If (c)
+    # matches (a), the round-2 gap was pure host->device upload cost.
+    from bhraytracer_tpu.models.pathtracer import render_chunk_staged_at
+
+    def run_at(start, s):
+        acc = jnp.zeros((n, 3))
+        zb = jnp.full((n,), 1e30)
+        return render_chunk_staged_at(pack, cfg, cam_p, 800, 600, n,
+                                      jnp.int32(start), key, jnp.int32(s),
+                                      None, acc, zb, True)
+
+    jax.block_until_ready(run_at(0, 0))  # compile raygen_at
+    t0 = time.perf_counter()
+    outs = []
+    for s in range(3):
+        for start in range(0, 800 * 600, n):
+            outs.append(run_at(start, s + 1))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    segs = [int(o[2].segments) for o in outs]
+    print(f"(c) 8 distinct chunks x3, device-side raygen: "
+          f"{dt/len(segs)*1e3:.1f} ms/chunk -> "
+          f"{sum(segs)/dt/1e6:.2f}M segs/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
