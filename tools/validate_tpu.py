@@ -95,6 +95,14 @@ def main() -> None:
     if jax.default_backend() == "tpu":
         T.probe_trace_kernels(pack)
         probe_shade_kernel(pack, cfg)
+    else:
+        # On a CPU-only host the "device" leg also runs the XLA path
+        # (pallas auto-mode disables off-TPU), so both renders are
+        # identical and OK would validate nothing.
+        print("ERROR: default backend is not TPU; this run would compare "
+              "the XLA path against itself. Refusing to print a "
+              "vacuous VALIDATION OK.", file=sys.stderr)
+        sys.exit(2)
     img_dev = _render(pack, cam, cfg, dev, args.chunks)
     backend = jax.default_backend()
 
@@ -124,7 +132,11 @@ def main() -> None:
     print(f"mean radiance dev={img_dev.mean():.4f} cpu={img_cpu.mean():.4f} "
           f"cpu-seed1={img_cpu1.mean():.4f}")
     mean_tol = 3.0 * abs(img_cpu1.mean() - img_cpu.mean()) + 1e-4
-    ok = (n_diff <= max(n_seed // 4, 64)
+    # Floor scales with image size (a localized single-tile bug in a 65536-
+    # pixel chunk must not hide under a fixed 64-pixel allowance), and when
+    # seed noise is nonzero the allowance is a fraction of it.
+    floor = max(du8.size // 4096, 16)
+    ok = (n_diff <= max(n_seed // 4, floor)
           and abs(img_dev.mean() - img_cpu.mean()) <= mean_tol)
     if not ok:
         print("VALIDATION FAILED")
