@@ -200,6 +200,11 @@ def _headline(passes: int = 3):
 
     # Device ceiling: one chunk re-submitted back-to-back (pure device rate,
     # zero orchestration variety) — reported separately, NEVER the headline.
+    # Warmup run first: releasing the realistic leg's ~70 chunk outputs
+    # stalls the next dispatch for ~1s on the tunneled backend, which would
+    # otherwise eat this short leg.
+    outs = None
+    jax.block_until_ready(run(0, passes + 11))
     t0 = time.perf_counter()
     outs = [run(0, passes + 1 + i) for i in range(10)]
     jax.block_until_ready(outs)

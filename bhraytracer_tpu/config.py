@@ -96,12 +96,16 @@ class RenderConfig:
     # refraction capacity + lossless TIR chain (one extra compile set, paid
     # only when a loss is detected).
     adaptive_full_capacity: bool = True
-    # Chunks kept in flight (dispatched, unharvested) during render_image:
-    # host dispatch of the next chunks overlaps device compute of the
-    # current one, hiding the remote-TPU tunnel's per-dispatch latency.
-    # Memory cost: window * chunk live accum/z buffers (small next to the
-    # shade tree's working set).
-    inflight_chunks: int = 3
+    # Chunks kept in flight (dispatched, unharvested) during render_image.
+    # 0 (default) = dispatch EVERY chunk before the first device->host
+    # fetch: on the tunneled-TPU backend the first readback permanently
+    # flips the client out of pipelined dispatch (~0.02 -> ~1.5 ms per
+    # dispatch; tools/drill_dispatch.py), so a render does exactly one
+    # readback barrier at the end. Memory cost: one accum+z buffer pair
+    # per chunk (~1MB per 65536-lane chunk). Nonzero = harvest through a
+    # bounded window (used with checkpointing, which needs durable
+    # per-chunk results).
+    inflight_chunks: int = 0
 
     # Refraction-child compaction: each level reserves capacity for at most
     # ceil(N * refr_capacity) refraction children (rounded up to 128 lanes).

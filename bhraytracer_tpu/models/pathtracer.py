@@ -973,19 +973,50 @@ def _stage_aux(pack, cfg, surf: Surface, hit_mask):
 _stage_aux_jit = jax.jit(_stage_aux, static_argnames=("cfg",))
 
 
+class StatsVec:
+    """Lazy ChunkStats view over the stacked (4,) device vector
+    [drop_refr, drop_tir, drop_gi, segments]. Attribute access slices on
+    demand, so the render loop issues ZERO dispatches for stats (on the
+    tunneled backend every eager dispatch costs ~1.5ms once a readback has
+    happened; the old per-field eager sums were ~20 dispatches/chunk)."""
+
+    __slots__ = ("vec",)
+
+    def __init__(self, vec):
+        self.vec = vec
+
+    @property
+    def drop_refr(self):
+        return self.vec[0]
+
+    @property
+    def drop_tir(self):
+        return self.vec[1]
+
+    @property
+    def drop_gi(self):
+        return self.vec[2]
+
+    @property
+    def segments(self):
+        return self.vec[3]
+
+
 def render_chunk_staged(pack, cfg, cam, width, height, px, py, key, pmap,
-                        accum, zbuf, first: bool, want_aux: bool = False):
+                        accum, zbuf, first: bool, want_aux: bool = False,
+                        st_prev=None):
     """One chunk through per-level jitted stages; accumulates into device
-    buffers (accum, zbuf). Returns (accum, zbuf, ChunkStats) — plus an
-    (albedo, normal) pair of first-hit denoiser aux buffers when want_aux."""
+    buffers (accum, zbuf). Returns (accum, zbuf, stats) — stats is a
+    StatsVec accumulated onto st_prev — plus an (albedo, normal) pair of
+    first-hit denoiser aux buffers when want_aux."""
     o, d, bg, dd_x, dd_y = _stage_raygen_jit(pack, cfg, cam, width, height, px, py, key)
     return _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, key, pmap,
-                          accum, zbuf, first, want_aux)
+                          accum, zbuf, first, want_aux, st_prev)
 
 
 def render_chunk_staged_at(pack, cfg, cam, width, height, chunk, start, key,
                            sample, pmap, accum, zbuf, first: bool,
-                           want_aux: bool = False):
+                           want_aux: bool = False, st_prev=None):
     """render_chunk_staged with DEVICE-SIDE lane-index generation: pixel
     indices come from `start` (a dynamic scalar) via iota, and the chunk RNG
     key is folded in-jit — no per-chunk host->device uploads, so chunks of a
@@ -994,46 +1025,75 @@ def render_chunk_staged_at(pack, cfg, cam, width, height, chunk, start, key,
     o, d, bg, dd_x, dd_y, ck = _stage_raygen_at_jit(
         pack, cfg, cam, width, height, chunk, start, key, sample)
     return _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, ck, pmap,
-                          accum, zbuf, first, want_aux)
+                          accum, zbuf, first, want_aux, st_prev)
 
 
 def _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, key, pmap,
-                   accum, zbuf, first: bool, want_aux: bool):
-    n = o.shape[0]
-    tasks = Tasks(
-        o=o, d=d,
-        active=jnp.ones((n,), bool),
-        bounce=jnp.full((n,), cfg.tir_bounces, jnp.int32),
-    )
-    key2 = jax.random.fold_in(key, 1)
-    recs = []
-    surf0 = None
-    for level in range(cfg.max_levels):
-        rec, tasks, surf = _shade_level_jit(
-            pack, cfg, tasks, level, jax.random.fold_in(key2, 100 + level),
-            dd_x, dd_y, pmap,
-        )
-        if level == 0:
-            surf0 = surf
+                   accum, zbuf, first: bool, want_aux: bool, st_prev=None):
+    # Dispatch economy: one jitted call per level plus ONE combined
+    # combine+finish+stats program — task init, per-level key folds, the
+    # backward combine tree, and the stat sums all happen in-graph.
+    if st_prev is None:
+        st_prev = jnp.zeros((4,), jnp.int32)
+    rec, tasks, surf0 = _shade_entry_jit(pack, cfg, o, d, key, dd_x, dd_y,
+                                         pmap)
+    recs = [rec]
+    for level in range(1, cfg.max_levels):
+        rec, tasks, _ = _shade_next_jit(pack, cfg, tasks, level, key,
+                                        dd_x, dd_y, pmap)
         recs.append(rec)
-    m = tasks.o.shape[0]
-    child_rad = jnp.zeros((m, 3))
-    child_z = jnp.full((m,), BIG)
-    child_hit = jnp.zeros((m,), bool)
-    for level in reversed(range(cfg.max_levels)):
-        rad = _combine_level_jit(cfg, level, recs[level], child_rad, child_z, child_hit)
-        child_rad, child_z, child_hit = rad, recs[level].z, recs[level].hit
-    stats = ChunkStats(
-        drop_refr=sum(r.drop_refr for r in recs),
-        drop_tir=sum(r.drop_tir for r in recs),
-        drop_gi=sum(r.drop_gi for r in recs),
-        segments=sum(r.segs for r in recs),
-    )
-    acc, zb = _stage_finish_jit(recs[0].hit, child_rad, bg, recs[0].z, accum, zbuf, first)
+    acc, zb, st = _combine_finish_jit(cfg, tuple(recs), tasks.active, bg,
+                                      accum, zbuf, first, st_prev)
+    stats = StatsVec(st)
     if want_aux:
         albedo, normal = _stage_aux_jit(pack, cfg, surf0, recs[0].hit)
         return acc, zb, stats, (albedo, normal)
     return acc, zb, stats
+
+
+def _level_key(key, level: int):
+    """The staged path's per-level key chain — bit-identical to the
+    original eager chain fold_in(fold_in(key, 1), 100 + level)."""
+    return jax.random.fold_in(jax.random.fold_in(key, 1), 100 + level)
+
+
+def _shade_entry(pack, cfg, o, d, key, dd_x, dd_y, pmap=None):
+    n = o.shape[0]
+    tasks = Tasks(o=o, d=d,
+                  active=jnp.ones((n,), bool),
+                  bounce=jnp.full((n,), cfg.tir_bounces, jnp.int32))
+    return _shade_level(pack, cfg, tasks, 0, _level_key(key, 0),
+                        dd_x, dd_y, pmap)
+
+
+def _shade_next(pack, cfg, tasks, level, key, dd_x, dd_y, pmap=None):
+    return _shade_level(pack, cfg, tasks, level, _level_key(key, level),
+                        dd_x, dd_y, pmap)
+
+
+def _combine_finish(cfg, recs, probe, bg, accum, zbuf, first, st_prev):
+    """Backward combine over all levels + miss/background resolve + accum
+    update + stat sums, as ONE program."""
+    m = probe.shape[0]
+    child_rad = jnp.zeros((m, 3))
+    child_z = jnp.full((m,), BIG)
+    child_hit = jnp.zeros((m,), bool)
+    for level in reversed(range(cfg.max_levels)):
+        rad = _combine_level(cfg, level, recs[level], child_rad, child_z,
+                             child_hit)
+        child_rad, child_z, child_hit = rad, recs[level].z, recs[level].hit
+    st = st_prev
+    for r in recs:
+        st = st + jnp.stack([r.drop_refr, r.drop_tir, r.drop_gi,
+                             r.segs]).astype(st_prev.dtype)
+    out = jnp.where(recs[0].hit[:, None], child_rad, bg)
+    z0 = jnp.where(recs[0].hit, recs[0].z, BIG)
+    return accum + out, jnp.where(first, z0, zbuf), st
+
+
+_shade_entry_jit = jax.jit(_shade_entry, static_argnames=("cfg",))
+_shade_next_jit = jax.jit(_shade_next, static_argnames=("cfg", "level"))
+_combine_finish_jit = jax.jit(_combine_finish, static_argnames=("cfg",))
 
 
 def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0,
@@ -1098,27 +1158,27 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     # (tools/drill_dispatch.py: 108.3 -> 6.4 ms/chunk).
     starts_d = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     samples_d = jnp.arange(spp, dtype=jnp.int32) + sample_offset
+    # Per-render init buffers, reused by every chunk (read-only jit inputs;
+    # one allocation per render, not per chunk).
+    acc0 = jnp.zeros((chunk, 3))
+    zb0 = jnp.full((chunk,), BIG)
+    st0 = jnp.zeros((4,), jnp.int32)
 
     def run_chunk(cfg_run, start):
-        acc_d = jnp.zeros((chunk, 3))
-        z_d = jnp.full((chunk,), BIG)
-        st_acc = None
+        acc_d, z_d, st_d = acc0, zb0, st0
         aux_d = None
         for s in range(spp):
             out = render_chunk_staged_at(
                 pack, cfg_run, cam, width, height, chunk,
                 starts_d[start // chunk], key, samples_d[s],
                 photon_map, acc_d, z_d, s == 0,
-                want_aux=(want_aux and s == 0),
+                want_aux=(want_aux and s == 0), st_prev=st_d,
             )
             if want_aux and s == 0:
                 acc_d, z_d, st, aux_d = out
             else:
                 acc_d, z_d, st = out
-            st_acc = st if st_acc is None else jax.tree.map(
-                jnp.add, st_acc, st)
-        st_d = jnp.stack([st_acc.drop_refr, st_acc.drop_tir,
-                          st_acc.drop_gi, st_acc.segments])
+            st_d = st.vec
         return acc_d, z_d, aux_d, st_d
 
     def harvest(start, acc_d, z_d, aux_d, st_d):
@@ -1148,13 +1208,20 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
             save_render_state(checkpoint_dir, accum, zbuffer, done,
                               cfg, width, height, seed)
 
-    window = max(1, int(cfg.inflight_chunks))
+    # Harvest policy: by default every chunk is dispatched BEFORE the first
+    # device->host fetch (the first readback permanently degrades dispatch
+    # pipelining on the tunneled backend — see cfg.inflight_chunks).
+    # Checkpointing needs durable per-chunk results, so it harvests through
+    # a bounded window instead.
+    window = int(cfg.inflight_chunks)
+    if checkpoint_dir and window <= 0:
+        window = 3
     pending = []
     for start in range(0, total, chunk):
         if done[start // chunk]:
             continue
         pending.append((start,) + run_chunk(cfg, start))
-        if len(pending) > window:
+        if window > 0 and len(pending) > window:
             harvest(*pending.pop(0))
     while pending:
         harvest(*pending.pop(0))
