@@ -120,23 +120,37 @@ def _tiny_scene_desc():
     return sd
 
 
+def _flip_eager():
+    """Force the tunneled client into eager (post-first-readback) execution
+    mode before timing anything. Before a process's first device->host
+    readback the client only JOURNALS operations: dispatch is ~free,
+    jax.block_until_ready returns without waiting, and never-fetched
+    programs may not execute at all — timings taken there are fiction
+    (round-3 lesson; the 98-113M segs/s readings were journal appends).
+    Only a fetch is a true barrier."""
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros((1,)) + 1.0)
+
+
 def _headline(passes: int = 3):
     """Headline metric: ACTIVE traced segments/s rendering the DISTINCT
     chunks of the reference's compiled-in scene (proj12_backfaceTest,
     800x600) — full-image style, the way the reference measures itself
-    (wall-clock per image, viewport.cpp:404-409). The round-2 number that
-    re-rendered ONE chunk 10x overstated realistic throughput ~9x
-    (VERDICT r2 #1); this renders every chunk of the image, `passes` times
-    with distinct sample keys, lane indices generated on device.
+    (wall-clock per image, viewport.cpp:404-409), `passes` times with
+    distinct sample keys, lane indices generated on device. Timing uses
+    FETCH BARRIERS (every chunk's stats vector is fetched inside the timed
+    window) because block_until_ready does not reliably wait on this
+    backend (see _flip_eager).
 
     "Active" counts real queries only (live closest hits + issued shadow
     rays + live refraction-chain trips) — NOT static level capacities; see
     LevelRecord.segs. The 2.5M/s baseline is the reference CPU's estimated
     rate for the same unit of work (BASELINE.md).
 
-    Returns (realistic_segs_per_sec, device_ceiling_segs_per_sec): the
-    ceiling leg re-submits one chunk back-to-back and bounds what the chip
-    could do with zero orchestration cost."""
+    Returns (segs_per_sec, per_chunk_ms, image_wall_s): the image wall
+    additionally includes fetching the 8 radiance buffers to host, i.e.
+    the full cost of having a 800x600 spp=1 image in hand."""
     import jax
     import jax.numpy as jnp
 
@@ -153,11 +167,6 @@ def _headline(passes: int = 3):
         tir_bounces=16,
         chunk_rays=65536,
         texture_sample_count=1,
-        # Measured-safe on this scene: drop counters stay 0 while the
-        # refraction chain traces ~3x narrower (live refr children are ~6%
-        # of lanes; see PROGRESS ledger r2). Losses, if any scene produced
-        # them, are counted in LevelRecord.drop_* and would fail
-        # tests/test_energy_loss.py.
         refr_capacity=0.08,
     )
     cam_p = from_scene_camera(cam)
@@ -171,46 +180,46 @@ def _headline(passes: int = 3):
 
         probe_trace_kernels(pack)
         probe_shade_kernel(pack, cfg)
+    _flip_eager()
 
     n = cfg.chunk_rays
     total = cam.width * cam.height
     key = jax.random.PRNGKey(0)
     # Scalars sliced from device arrays, never fresh host ints: a fresh
-    # host scalar as a jit arg costs ~100ms of synchronous transfer wait
+    # host array as a jit arg costs ~100ms of synchronous transfer wait
     # per dispatch on the tunneled TPU (tools/drill_dispatch.py).
     n_chunks = -(-total // n)
     starts_d = jnp.arange(n_chunks, dtype=jnp.int32) * n
     samples_d = jnp.arange(passes + 12, dtype=jnp.int32)
+    acc0 = jnp.zeros((n, 3))
+    zb0 = jnp.full((n,), 1e30)
+    st0 = jnp.zeros((4,), jnp.int32)
 
     def run(c, s):
-        acc = jnp.zeros((n, 3))
-        zb = jnp.full((n,), 1e30)
         return render_chunk_staged_at(
             pack, cfg, cam_p, cam.width, cam.height, n, starts_d[c],
-            key, samples_d[s], None, acc, zb, True,
+            key, samples_d[s], None, acc0, zb0, True, st_prev=st0,
         )
 
-    jax.block_until_ready(run(0, 0))  # compile all stages
+    # Warm/compile pass, fetch-barriered (compiles happen lazily; only a
+    # fetch proves the programs are built and runnable).
+    warm = [run(c, 0) for c in range(n_chunks)]
+    np.asarray(warm[-1][2].vec)
 
     t0 = time.perf_counter()
     outs = [run(c, s + 1) for s in range(passes) for c in range(n_chunks)]
-    jax.block_until_ready(outs)
+    sts = [np.asarray(o[2].vec) for o in outs]
     dt = time.perf_counter() - t0
-    realistic = sum(int(o[2].segments) for o in outs) / dt
+    segs = sum(int(s[3]) for s in sts)
+    rate = segs / dt
 
-    # Device ceiling: one chunk re-submitted back-to-back (pure device rate,
-    # zero orchestration variety) — reported separately, NEVER the headline.
-    # Warmup run first: releasing the realistic leg's ~70 chunk outputs
-    # stalls the next dispatch for ~1s on the tunneled backend, which would
-    # otherwise eat this short leg.
-    outs = None
-    jax.block_until_ready(run(0, passes + 11))
+    # Image-in-hand wall: one full image, radiance fetched to host.
     t0 = time.perf_counter()
-    outs = [run(0, passes + 1 + i) for i in range(10)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    ceiling = sum(int(o[2].segments) for o in outs) / dt
-    return realistic, ceiling
+    outs = [run(c, passes + 2) for c in range(n_chunks)]
+    img_parts = [np.asarray(o[0]) for o in outs]
+    image_wall = time.perf_counter() - t0
+    assert all(np.isfinite(p).all() for p in img_parts)
+    return rate, dt / (passes * n_chunks) * 1e3, image_wall
 
 
 def _full_1024(spp: int = 1):
@@ -242,15 +251,17 @@ def _full_1024(spp: int = 1):
                                       n, starts_d[c], key, samples_d[s],
                                       None, acc, zb, True)
 
-    jax.block_until_ready(run_chunk(0, 0))  # compile
+    _flip_eager()
+    warm = run_chunk(0, 0)
+    np.asarray(warm[2].vec)  # fetch barrier: compiles done
     t0 = time.perf_counter()
     outs = []
     for s in range(spp):
         for c in range(n_chunks):
             outs.append(run_chunk(c, s))
-    jax.block_until_ready(outs)
+    sts = [np.asarray(o[2].vec) for o in outs]  # fetch barrier per chunk
     dt = time.perf_counter() - t0
-    segments = sum(int(o[2].segments) for o in outs)
+    segments = sum(int(s_[3]) for s_ in sts)
     rays = total * spp
     return {"wall_s": round(dt, 3),
             "segments_per_sec": round(segments / dt),
@@ -308,13 +319,16 @@ def _fwd_bwd_1024(width: int = 1024, height: int = 1024,
     target0 = jnp.zeros((n, 3))
     n_chunks = -(-total // n)
     starts_d = jnp.arange(n_chunks, dtype=jnp.int32) * n
-    jax.block_until_ready(step(params, starts_d[0], target0))  # compile
+    _flip_eager()
+    warm = step(params, starts_d[0], target0)
+    float(warm[0])  # fetch barrier: compile done
     t0 = time.perf_counter()
-    outs = []
+    losses = []
     for c in range(n_chunks):
-        outs.append(step(params, starts_d[c], target0))
-    jax.block_until_ready(outs)
+        losses.append(step(params, starts_d[c], target0)[0])
+    losses = [float(l) for l in losses]  # fetch barrier per chunk
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(l) for l in losses)
     return {"wall_s": round(dt, 3),
             "fwd_bwd_rays_per_sec": round(total / dt)}
 
@@ -461,16 +475,18 @@ def main():
 
     enable_compilation_cache()
 
-    segs_per_sec, ceiling = _headline()
+    segs_per_sec, per_chunk_ms, image_wall = _headline()
     line = {
         "metric": "ray_segments_per_sec",
         "value": round(segs_per_sec),
         "unit": "segments/s",
         "vs_baseline": round(segs_per_sec / BASELINE_SEGMENTS_PER_SEC, 3),
-        "measurement": "distinct chunks of the full 800x600 image x3 passes "
-                       "(realistic full-image style; NOT same-chunk "
-                       "resubmission)",
-        "device_ceiling_segments_per_sec": round(ceiling),
+        "measurement": "distinct chunks of the full 800x600 image x3 passes, "
+                       "FETCH-BARRIER timed (block_until_ready does not wait "
+                       "on this backend; every chunk's stats vector is "
+                       "fetched inside the timed window)",
+        "per_chunk_ms": round(per_chunk_ms, 1),
+        "image_wall_s_800x600_spp1": round(image_wall, 3),
     }
     if fallback:
         line["device_note"] = (

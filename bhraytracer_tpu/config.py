@@ -96,16 +96,14 @@ class RenderConfig:
     # refraction capacity + lossless TIR chain (one extra compile set, paid
     # only when a loss is detected).
     adaptive_full_capacity: bool = True
-    # Chunks kept in flight (dispatched, unharvested) during render_image.
-    # 0 (default) = dispatch EVERY chunk before the first device->host
-    # fetch: on the tunneled-TPU backend the first readback permanently
-    # flips the client out of pipelined dispatch (~0.02 -> ~1.5 ms per
-    # dispatch; tools/drill_dispatch.py), so a render does exactly one
-    # readback barrier at the end. Memory cost: one accum+z buffer pair
-    # per chunk (~1MB per 65536-lane chunk). Nonzero = harvest through a
-    # bounded window (used with checkpointing, which needs durable
-    # per-chunk results).
-    inflight_chunks: int = 0
+    # Chunks kept in flight (dispatched, unharvested) during render_image:
+    # chunk i's host fetch overlaps chunks i+1..i+W executing on device.
+    # render_image deliberately flips the tunneled client into eager
+    # execution mode first (one tiny fetch) — in the client's initial
+    # journaling mode dispatches are deferred and execution is slower
+    # end-to-end (tools/drill_dispatch.py). 0 = no window: dispatch every
+    # chunk, one readback barrier at the end (what bench.py measures).
+    inflight_chunks: int = 4
 
     # Refraction-child compaction: each level reserves capacity for at most
     # ceil(N * refr_capacity) refraction children (rounded up to 128 lanes).

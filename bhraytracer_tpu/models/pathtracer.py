@@ -973,6 +973,21 @@ def _stage_aux(pack, cfg, surf: Surface, hit_mask):
 _stage_aux_jit = jax.jit(_stage_aux, static_argnames=("cfg",))
 
 
+_EAGER_FLIPPED = False
+
+
+def _ensure_eager_dispatch():
+    """One tiny device->host fetch, once per process: flips the tunneled
+    TPU client out of its initial journaling mode (where dispatch defers
+    everything, block_until_ready returns without waiting, and un-fetched
+    programs may never execute) into eager execution. Harmless no-op on
+    CPU/other backends."""
+    global _EAGER_FLIPPED
+    if not _EAGER_FLIPPED:
+        np.asarray(jnp.zeros((1,)) + 1.0)
+        _EAGER_FLIPPED = True
+
+
 class StatsVec:
     """Lazy ChunkStats view over the stacked (4,) device vector
     [drop_refr, drop_tir, drop_gi, segments]. Attribute access slices on
@@ -1208,11 +1223,13 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
             save_render_state(checkpoint_dir, accum, zbuffer, done,
                               cfg, width, height, seed)
 
-    # Harvest policy: by default every chunk is dispatched BEFORE the first
-    # device->host fetch (the first readback permanently degrades dispatch
-    # pipelining on the tunneled backend — see cfg.inflight_chunks).
-    # Checkpointing needs durable per-chunk results, so it harvests through
-    # a bounded window instead.
+    # Put the tunneled client into eager execution mode up front (its
+    # initial journaling mode defers execution and lies to
+    # block_until_ready; one tiny fetch flips it — measured faster
+    # end-to-end, tools/drill_dispatch.py).
+    _ensure_eager_dispatch()
+    # Harvest policy: bounded in-flight window so chunk fetches overlap
+    # later chunks' execution. 0 = single readback barrier at the end.
     window = int(cfg.inflight_chunks)
     if checkpoint_dir and window <= 0:
         window = 3

@@ -21,17 +21,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, iters=20, warmup=2):
-    import jax
+def _barrier(out):
+    """TRUE completion barrier: fetch one element of an output.
 
+    On the tunneled-TPU backend block_until_ready does NOT wait (the client
+    journals ops and reports buffers ready; only a fetch forces execution),
+    and un-fetched programs may be skipped entirely — so every timed
+    iteration must be individually fetched or it may never run."""
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype"):
+            np.asarray(leaf.ravel()[0])
+            return
+
+
+_FETCH_BASELINE = None
+
+
+def _fetch_baseline():
+    """Per-iteration cost of the barrier itself (tiny slice + 4-byte
+    fetch), measured on a no-op, subtracted from every reading."""
+    global _FETCH_BASELINE
+    if _FETCH_BASELINE is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8,))
+        _barrier(f(x))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            _barrier(f(x))
+        _FETCH_BASELINE = (time.perf_counter() - t0) / 20
+        print(f"(fetch-barrier baseline: {_FETCH_BASELINE*1e3:.2f} ms/iter, "
+              "subtracted from every reading)", flush=True)
+    return _FETCH_BASELINE
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    base = _fetch_baseline()
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _barrier(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        _barrier(fn(*args))
+    return max((time.perf_counter() - t0) / iters - base, 0.0)
 
 
 def main():

@@ -1,0 +1,141 @@
+"""Image-level ablation sweep on the tunneled TPU — the ONLY honest way to
+attribute per-chunk cost on this backend.
+
+Why not per-op timing (tools/profile_stage.py): the axon client journals
+ops (block_until_ready does not wait before the first readback), skips
+never-fetched programs, and the terminal serves repeated identical calls
+from a content-keyed replay cache — so micro-timings of a fn called with
+the same inputs are fiction. At image granularity with per-call sample
+keys every chunk is distinct work, the single stats fetch at the end is a
+true barrier, and the ~1.2ms/dispatch RTT is amortized over ~100ms chunks.
+
+Each variant renders the 8 distinct 65536-lane chunks of the headline
+scene (proj12_backfaceTest, 800x600) N times with distinct sample indices
+and reports segs/s. Variants toggle the module-level kernel switches and
+config knobs one at a time.
+
+Usage: python tools/sweep_variants.py [--passes 3] [--only name,name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run")
+    args = ap.parse_args()
+
+    from bhraytracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench as B
+    from bhraytracer_tpu.config import RenderConfig
+    from bhraytracer_tpu.models.pathtracer import render_chunk_staged_at
+    from bhraytracer_tpu.ops import trace as T
+    from bhraytracer_tpu.ops.camera import from_scene_camera
+    from bhraytracer_tpu.ops.pallas_shade import (
+        probe_shade_kernel,
+        set_shade_kernel,
+    )
+
+    pack, cam = B._bench_scene()
+    cam.width, cam.height = 800, 600
+    base = dict(spp=1, gi_bounces=3, extra_refr_levels=2, tir_bounces=16,
+                chunk_rays=65536, texture_sample_count=1, refr_capacity=0.08)
+    cam_p = from_scene_camera(cam)
+    n = base["chunk_rays"]
+    total = 800 * 600
+    n_chunks = -(-total // n)
+    key = jax.random.PRNGKey(0)
+    starts_d = jnp.arange(n_chunks, dtype=jnp.int32) * n
+    samples_d = jnp.arange(4096, dtype=jnp.int32)
+    acc0 = jnp.zeros((n, 3))
+    zb0 = jnp.full((n,), 1e30)
+    st0 = jnp.zeros((4,), jnp.int32)
+
+    if jax.default_backend() == "tpu":
+        T.probe_trace_kernels(pack)
+        probe_shade_kernel(pack, RenderConfig(**base))
+    # Flip the client into eager (post-readback) execution mode before any
+    # timing — fresh-mode journaled execution is slower end-to-end and its
+    # block_until_ready lies.
+    np.asarray(jnp.zeros((1,)) + 1)
+
+    sample_counter = [1]
+
+    def measure(cfg, passes):
+        def run(c, s):
+            return render_chunk_staged_at(
+                pack, cfg, cam_p, 800, 600, n, starts_d[c], key,
+                samples_d[s], None, acc0, zb0, True, st_prev=st0)
+
+        # warm/compile pass (not timed)
+        s0 = sample_counter[0]
+        sample_counter[0] += passes + 1
+        outs = [run(c, s0) for c in range(n_chunks)]
+        np.asarray(outs[-1][2].vec)
+        t0 = time.perf_counter()
+        outs = []
+        for p in range(passes):
+            outs += [run(c, s0 + 1 + p) for c in range(n_chunks)]
+        sts = [np.asarray(o[2].vec) for o in outs]
+        dt = time.perf_counter() - t0
+        segs = sum(int(s[3]) for s in sts)
+        drops = sum(int(s[:3].sum()) for s in sts)
+        return segs / dt, dt / len(outs), drops / len(outs)
+
+    def variant(name, cfg_overrides=None, setup=None, teardown=None):
+        cfg = RenderConfig(**{**base, **(cfg_overrides or {})})
+        if setup:
+            setup()
+        try:
+            rate, per_chunk, drops = measure(cfg, args.passes)
+        finally:
+            if teardown:
+                teardown()
+        print(f"{name:32s} {rate/1e6:7.2f}M segs/s  {per_chunk*1e3:7.1f} "
+              f"ms/chunk  drops/chunk {drops:.0f}", flush=True)
+
+    only = set(args.only.split(",")) if args.only else None
+    V = [
+        ("baseline", None, None, None),
+        ("shade_kernel_off", None,
+         lambda: set_shade_kernel("off"), lambda: set_shade_kernel("auto")),
+        ("pallas_trace_off", None,
+         lambda: T.set_pallas_mode("off"), lambda: T.set_pallas_mode("auto")),
+        ("divergent_on", None,
+         lambda: T.set_divergent_mode("on"), lambda: T.set_divergent_mode("off")),
+        ("stream_on", None,
+         lambda: T.set_stream_mode("on"), lambda: T.set_stream_mode("off")),
+        ("refr_cap_0.16", {"refr_capacity": 0.16}, None, None),
+        ("refr_cap_1.0_lossless",
+         {"refr_capacity": 1.0, "tir_tail_compaction": False,
+          "gi_capacity": 1.0}, None, None),
+        ("gi_2_bounces", {"gi_bounces": 2}, None, None),
+    ]
+    for name, cfg_o, setup, teardown in V:
+        if only and name not in only:
+            continue
+        try:
+            variant(name, cfg_o, setup, teardown)
+        except Exception as e:
+            print(f"{name:32s} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
