@@ -105,6 +105,15 @@ class RenderConfig:
     # chunk, one readback barrier at the end (what bench.py measures).
     inflight_chunks: int = 4
 
+    # Fuse the whole chunk (raygen + all shade levels + combine/finish) into
+    # ONE compiled program instead of ~9 per-level stages. On the tunneled
+    # TPU each program execution costs ~10-25ms of fixed overhead while the
+    # actual device compute at 65K lanes is ~1ms — program count per image,
+    # not FLOPs, sets the render rate (tools/microbench.py, round 3). Costs
+    # one big compile per (chunk, cfg) shape; the round-1 SIGILL in the TPU
+    # compiler's fusion pass on this program has not reproduced since.
+    fused_levels: bool = False
+
     # Refraction-child compaction: each level reserves capacity for at most
     # ceil(N * refr_capacity) refraction children (rounded up to 128 lanes).
     # The reference recursion expands every refractive hit; compaction keeps

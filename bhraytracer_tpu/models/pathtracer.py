@@ -1036,11 +1036,54 @@ def render_chunk_staged_at(pack, cfg, cam, width, height, chunk, start, key,
     indices come from `start` (a dynamic scalar) via iota, and the chunk RNG
     key is folded in-jit — no per-chunk host->device uploads, so chunks of a
     full image pipeline back-to-back on device (the reference renders whole
-    images, viewport.cpp:404-409; this is the full-image hot path)."""
+    images, viewport.cpp:404-409; this is the full-image hot path).
+
+    With cfg.fused_levels the whole chunk (raygen + every shade level +
+    combine/finish/stats) runs as ONE compiled program instead of ~9: on the
+    tunneled TPU each program execution carries ~10-25ms of fixed overhead
+    that dwarfs the actual device compute at these lane counts, so program
+    count per image — not FLOPs — sets the render rate. RNG and numerics are
+    bit-identical to the staged path (same functions, traced in one graph)."""
+    if cfg.fused_levels and st_prev is None:
+        st_prev = jnp.zeros((4,), jnp.int32)
+    if cfg.fused_levels:
+        out = _chunk_fused_at_jit(pack, cfg, cam, width, height, chunk,
+                                  start, key, sample, accum, zbuf, first,
+                                  st_prev, want_aux)
+        if want_aux:
+            acc, zb, st, aux = out
+            return acc, zb, StatsVec(st), aux
+        acc, zb, st = out
+        return acc, zb, StatsVec(st)
     o, d, bg, dd_x, dd_y, ck = _stage_raygen_at_jit(
         pack, cfg, cam, width, height, chunk, start, key, sample)
     return _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, ck, pmap,
                           accum, zbuf, first, want_aux, st_prev)
+
+
+def _chunk_fused_at(pack, cfg, cam, width, height, chunk, start, base_key,
+                    sample, accum, zbuf, first, st_prev, want_aux: bool):
+    """Monolithic chunk program: _stage_raygen_at + every shade level +
+    _combine_finish traced into one graph (the fused_levels path)."""
+    o, d, bg, dd_x, dd_y, ck = _stage_raygen_at(
+        pack, cfg, cam, width, height, chunk, start, base_key, sample)
+    rec, tasks, surf0 = _shade_entry(pack, cfg, o, d, ck, dd_x, dd_y, None)
+    recs = [rec]
+    for level in range(1, cfg.max_levels):
+        rec, tasks, _ = _shade_next(pack, cfg, tasks, level, ck, dd_x, dd_y,
+                                    None)
+        recs.append(rec)
+    acc, zb, st = _combine_finish(cfg, tuple(recs), tasks.active, bg,
+                                  accum, zbuf, first, st_prev)
+    if want_aux:
+        albedo, normal = _stage_aux(pack, cfg, surf0, recs[0].hit)
+        return acc, zb, st, (albedo, normal)
+    return acc, zb, st
+
+
+_chunk_fused_at_jit = jax.jit(
+    _chunk_fused_at,
+    static_argnames=("cfg", "width", "height", "chunk", "want_aux"))
 
 
 def _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, key, pmap,

@@ -184,16 +184,14 @@ def _closest_kernel(side: int, n_faces: int, n_nodes: int,
             for r in range(SUBL)
         ])
 
-    root_row = nodes[pl.ds(root, 1), :]
-    rb = jnp.broadcast_to(root_row, (SUBL, nodes.shape[1]))
-    _, root_hit = _box_test_rows(rb, pox, poy, poz, idx, idy, idz, tinit[...])
-    rh = root_hit.astype(jnp.int32)
-    go0 = jnp.int32(0)
+    # Push the root unconditionally (no pre-loop root box test: broadcasting
+    # one fetched row to all 8 sublanes constant-folds to a (1,1)->(8,128)
+    # broadcast Mosaic rejects; the loop's internal phase tests children with
+    # genuinely distinct rows, and an all-miss row just pops root once).
+    go0 = jnp.int32(1)
     for r in range(SUBL):
-        alive = _row_scalar_any(rh, riota, r)
         stack[r * STACK_DEPTH] = root
-        sp_ref[r] = alive
-        go0 = jnp.maximum(go0, alive)
+        sp_ref[r] = 1
 
     def cond(go):
         return go > 0
@@ -322,16 +320,12 @@ def _anyhit_kernel(n_faces: int, n_nodes: int, bias: float,
 
     occ_ref[...] = jnp.zeros(pox.shape, jnp.int32)
 
-    root_row = nodes[pl.ds(root, 1), :]
-    rb = jnp.broadcast_to(root_row, (SUBL, nodes.shape[1]))
-    _, root_hit = _box_test_rows(rb, pox, poy, poz, idx, idy, idz, tm)
-    rh = root_hit.astype(jnp.int32)
-    go0 = jnp.int32(0)
+    # Root pushed unconditionally — see _closest_kernel for why there is no
+    # pre-loop root box test (Mosaic rejects the folded dual broadcast).
+    go0 = jnp.int32(1)
     for r in range(SUBL):
-        alive = _row_scalar_any(rh, riota, r)
         stack[r * STACK_DEPTH] = root
-        sp_ref[r] = alive
-        go0 = jnp.maximum(go0, alive)
+        sp_ref[r] = 1
 
     def cond(go):
         return go > 0

@@ -29,7 +29,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (smoke-testing the harness itself)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from bhraytracer_tpu.utils.cache import enable_compilation_cache
 
@@ -62,7 +69,17 @@ def main() -> None:
     iota = jnp.arange(args.iters + 8, dtype=jnp.int32)
 
     def timed(name, fn):
-        """fn: jitted scalar-digest function of a single int32 tracer."""
+        """fn: jitted scalar-digest function of a single int32 tracer.
+        A kernel that fails to compile on this hardware prints FAILED
+        instead of killing the remaining measurements."""
+        try:
+            return _timed(name, fn)
+        except Exception as e:
+            print(f"{name:38s} FAILED: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            return None
+
+    def _timed(name, fn):
         for w in range(2):
             float(fn(iota[w]))
         t0 = time.perf_counter()
@@ -183,6 +200,160 @@ def main() -> None:
         return ro.sum() + rd.sum() + segs.astype(jnp.float32)
 
     timed(f"refraction_chain (K={k_cap})", chain)
+
+    # ------------------------------------------------------------------
+    # Amplified per-component timings: run the component K times inside a
+    # lax.scan whose carry feeds each iteration's inputs (nothing hoists,
+    # nothing replays), measure at two K values, and report the SLOPE —
+    # per-iteration device cost with RTT/init/fixed overhead cancelled.
+    # This is the only reading here precise enough to attribute the
+    # ~100ms/chunk render cost (single-shot readings drown in the ~25ms
+    # fetch round-trip).
+    # ------------------------------------------------------------------
+    print("--- amplified component slopes (ms per call at n="
+          f"{n}) ---", flush=True)
+    from functools import partial
+
+    from bhraytracer_tpu.ops.compact import partition_indices
+    from bhraytracer_tpu.ops.linalg import normalize
+    from bhraytracer_tpu.ops.trace import resolve_hit
+
+    K1, K2 = 4, 12
+    amp_iters = 6
+
+    def slope(name, make_scan):
+        """make_scan(K) -> jitted scalar fn of i running the component K
+        times; report (t(K2)-t(K1))/(K2-K1)."""
+        try:
+            fns = [make_scan(K) for K in (K1, K2)]
+            ts = []
+            for f in fns:
+                for w in range(2):
+                    float(f(iota[w]))
+                t0 = time.perf_counter()
+                for it in range(amp_iters):
+                    float(f(iota[it + 2]))
+                ts.append((time.perf_counter() - t0) / amp_iters)
+            per = (ts[1] - ts[0]) / (K2 - K1)
+            print(f"{name:38s} {per * 1e3:9.2f} ms/call", flush=True)
+        except Exception as e:
+            print(f"{name:38s} FAILED: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+
+    def scan_over(body, init_of):
+        """Build make_scan(K) for a body(carry, k) -> carry."""
+        def make(K):
+            @jax.jit
+            def f(i):
+                c = init_of(i)
+                c, _ = jax.lax.scan(lambda c_, k: (body(c_, k), None), c,
+                                    jnp.arange(K, dtype=jnp.int32))
+                return jax.tree.reduce(
+                    lambda a, b: a + b,
+                    jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)
+                                                   if x.dtype != jnp.float32
+                                                   else x) * 1e-9, c))
+            return f
+        return make
+
+    def rays_init(i):
+        o, d, _ = rays_of(i)
+        return o, d
+
+    def perturb(o, t):
+        # tiny data-dependent shift: keeps every iteration distinct and
+        # chained without changing the work's character
+        return o + (t[:, None] % 1.0) * 1e-12
+
+    # trace_closest, coherent (the per-level closest-hit trace)
+    slope("trace_closest (pallas, no sort)", scan_over(
+        lambda c, k: (perturb(c[0], T.trace_closest(
+            pack, c[0], c[1], "front").t), c[1]), rays_init))
+    slope("trace_closest (+reorder sort)", scan_over(
+        lambda c, k: (perturb(c[0], T.trace_closest(
+            pack, c[0], c[1], "front", reorder=True).t), c[1]), rays_init))
+    T.set_pallas_mode("off")
+    slope("trace_closest (XLA while_loop)", scan_over(
+        lambda c, k: (perturb(c[0], T.trace_closest(
+            pack, c[0], c[1], "front").t), c[1]), rays_init))
+    T.set_pallas_mode("auto")
+
+    # shadow trace
+    slope("trace_shadow", scan_over(
+        lambda c, k: (perturb(c[0], T.trace_shadow(
+            pack, c[0], c[1], 1.0, cfg.shadow_bias).astype(jnp.float32)),
+            c[1]), rays_init))
+
+    # per-level RNG table
+    slope("u_tab uniform (n,13)", scan_over(
+        lambda c, k: c + jnp.sum(jax.random.uniform(
+            jax.random.fold_in(key, c.astype(jnp.int32) % 1000), (n, 13))),
+        lambda i: i.astype(jnp.float32)))
+
+    # resolve_hit on real level-0 hits
+    def surf_state(i):
+        o, d, _ = rays_of(i)
+        hit = T.trace_closest(pack, o, d, "front")
+        return o, d, hit
+
+    def resolve_body(c, k):
+        o, d, hit = c
+        surf = resolve_hit(pack, o, d, hit, jnp.zeros(3), jnp.zeros(3),
+                           fast_rows=True)
+        return perturb(o, surf.z), d, hit
+
+    slope("resolve_hit (fast_rows)", scan_over(resolve_body, surf_state))
+
+    # direct light (incl shadow trace) + gi sample, on level-0 surfaces
+    def shade_state(i):
+        o, d, _ = rays_of(i)
+        hit = T.trace_closest(pack, o, d, "front")
+        surf = resolve_hit(pack, o, d, hit, jnp.zeros(3), jnp.zeros(3),
+                           fast_rows=True)
+        mtl = PT._fetch_mtl(pack, surf.mtl)
+        vv = normalize(o - surf.p)
+        u = jax.random.uniform(key, (n, 13))
+        return surf, mtl, vv, hit.hit, u
+
+    def direct_body(c, k):
+        surf, mtl, vv, mask, u = c
+        dl, _ = PT._direct_light(pack, cfg, surf, mtl, mtl.specular, surf.n,
+                                 vv, u[:, :8], mask)
+        u2 = jnp.roll(u, 1, axis=0) + jnp.mean(dl) * 1e-12
+        return surf, mtl, vv, mask, u2
+
+    slope("_direct_light (incl shadow)", scan_over(direct_body, shade_state))
+
+    def gi_body(c, k):
+        surf, mtl, vv, mask, u = c
+        go, gd, galb, genv = PT._gi_sample(pack, cfg, surf, mtl, mtl.specular,
+                                           surf.n, vv, u[:, 8:13])
+        u2 = jnp.roll(u, 1, axis=0) + jnp.mean(galb) * 1e-12
+        return surf, mtl, vv, mask, u2
+
+    slope("_gi_sample", scan_over(gi_body, shade_state))
+
+    # compaction: partition_indices + the child gathers
+    def compact_body(c, k):
+        mask, o = c
+        selv = partition_indices(mask, k_cap)
+        og = o[selv]
+        mask2 = jnp.roll(mask, 1) ^ (jnp.sum(og) > 0.0)
+        return mask2, o
+
+    slope(f"partition+gather (K={k_cap})", scan_over(
+        compact_body,
+        lambda i: ((rays_of(i)[0][:, 0] > 0.0), rays_of(i)[0])))
+
+    # full shade level 0 (everything the renderer pays per level)
+    def level_body(c, k):
+        o, d = c
+        rec, tasks, _ = PT._shade_entry(pack, cfg, o, d,
+                                        jax.random.fold_in(key, k),
+                                        jnp.zeros(3), jnp.zeros(3))
+        return perturb(o, rec.z), d
+
+    slope("shade_level 0 FULL", scan_over(level_body, rays_init))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names to run")
+    ap.add_argument("--chunk", type=int, default=65536,
+                    help="lanes per dispatch; bigger chunks amortize the "
+                         "~1.5ms/dispatch tunnel RTT over more work "
+                         "(480000 = whole 800x600 image in one chunk)")
     args = ap.parse_args()
 
     from bhraytracer_tpu.utils.cache import enable_compilation_cache
@@ -55,7 +59,8 @@ def main() -> None:
     pack, cam = B._bench_scene()
     cam.width, cam.height = 800, 600
     base = dict(spp=1, gi_bounces=3, extra_refr_levels=2, tir_bounces=16,
-                chunk_rays=65536, texture_sample_count=1, refr_capacity=0.08)
+                chunk_rays=args.chunk, texture_sample_count=1,
+                refr_capacity=0.08)
     cam_p = from_scene_camera(cam)
     n = base["chunk_rays"]
     total = 800 * 600
@@ -113,6 +118,7 @@ def main() -> None:
     only = set(args.only.split(",")) if args.only else None
     V = [
         ("baseline", None, None, None),
+        ("fused_levels", {"fused_levels": True}, None, None),
         ("shade_kernel_off", None,
          lambda: set_shade_kernel("off"), lambda: set_shade_kernel("auto")),
         ("pallas_trace_off", None,
