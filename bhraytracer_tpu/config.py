@@ -105,6 +105,14 @@ class RenderConfig:
     # chunk, one readback barrier at the end (what bench.py measures).
     inflight_chunks: int = 4
 
+    # Instrumentation ONLY (tools/sweep_variants.py): comma-separated set of
+    # shade-level components to stub out so image-level ablation sweeps can
+    # attribute per-chunk cost on hardware where per-op microbenchmarks are
+    # unreliable (the tunnel journals/replays same-input calls). Supported:
+    # "chain", "direct", "shadow", "gi", "rng". Renders with a non-empty
+    # value are WRONG images by construction.
+    ablate: str = ""
+
     # Fuse the whole chunk (raygen + all shade levels + combine/finish) into
     # ONE compiled program instead of ~9 per-level stages. On the tunneled
     # TPU each program execution costs ~10-25ms of fixed overhead while the

@@ -245,15 +245,18 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask, reorder=True):
     # Non-candidates get t_max = 0: the t-bounded box pruning in the anyhit
     # traversals then retires them at the root test.
     t_max = jnp.where(cand, jnp.where(is_point, 1.0, BIG), 0.0)
-    occ = trace_shadow(
-        pack,
-        shadow_o,
-        shadow_d,
-        t_max,
-        cfg.shadow_bias,
-        plane_extent_bug=cfg.parity_plane_shadow_bug,
-        reorder=reorder,
-    )
+    if "shadow" in cfg.ablate:  # instrumentation only (config.py)
+        occ = jnp.zeros((n,), bool)
+    else:
+        occ = trace_shadow(
+            pack,
+            shadow_o,
+            shadow_d,
+            t_max,
+            cfg.shadow_bias,
+            plane_extent_bug=cfg.parity_plane_shadow_bug,
+            reorder=reorder,
+        )
     vis = jnp.where(occ & (is_point | is_direct) & mask, 0.0, 1.0)
 
     irr_point = jnp.where(
@@ -563,19 +566,35 @@ def _shade_level(
         o=jnp.where(act, tasks.o, _MISS_O),
         d=jnp.where(act, tasks.d, _MISS_D),
     )
+    # Instrumentation-only component stubs (cfg.ablate; see config.py).
+    abl = set(cfg.ablate.split(",")) if cfg.ablate else set()
+
     # Level-0 camera rays arrive in scanline order — already coherent, so
     # the packet kernels' reorder sort would only cost there.
-    hit = trace_closest(pack, tasks.o, tasks.d, "front", reorder=level != 0)
+    if "trace" in abl:
+        from bhraytracer_tpu.ops.trace import Hit as _Hit
+
+        hit = _Hit(t=jnp.full((n,), 5.0), kind=jnp.zeros((n,), jnp.int32),
+                   inst=jnp.zeros((n,), jnp.int32),
+                   face=jnp.full((n,), -1, jnp.int32),
+                   front=jnp.ones((n,), bool), hit=jnp.ones((n,), bool))
+    else:
+        hit = trace_closest(pack, tasks.o, tasks.d, "front",
+                            reorder=level != 0)
     shade = tasks.active & hit.hit
 
     # --- per-level uniforms in ONE threefry call (30 scattered
     # fold_in+uniform calls were a measurable cost) ---
-    u_tab = jax.random.uniform(jax.random.fold_in(key, 1), (n, 13))
+    if "rng" in abl:
+        u_tab = jnp.full((n, 13), 0.5)
+    else:
+        u_tab = jax.random.uniform(jax.random.fold_in(key, 1), (n, 13))
 
     from bhraytracer_tpu.ops.trace import _pallas_enabled
     from bhraytracer_tpu.ops.pallas_shade import shade_setup, shade_setup_supported
 
-    use_fused = _pallas_enabled() and shade_setup_supported(pack, cfg, pmap)
+    use_fused = (not abl) and _pallas_enabled() and shade_setup_supported(
+        pack, cfg, pmap)
     if use_fused:
         # Fused shade-setup kernel: resolve + Fresnel + light sampling +
         # BRDF + GI lobe in one VMEM pass (ops/pallas_shade.py); only the
@@ -615,10 +634,14 @@ def _shade_level(
         refr_eff = (1.0 - fres)[:, None] * mtl.refraction
 
         # --- direct light ---
-        direct, n_shadow = _direct_light(
-            pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8], shade,
-            pmap=pmap, reorder=level != 0,
-        )
+        if "direct" in abl:
+            direct = jnp.zeros((n, 3))
+            n_shadow = jnp.zeros((), jnp.int32)
+        else:
+            direct, n_shadow = _direct_light(
+                pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8],
+                shade, pmap=pmap, reorder=level != 0,
+            )
 
     # --- refraction chain on COMPACTED refractive lanes ---
     # The recursive reference expands every refractive hit; here candidates
@@ -642,10 +665,17 @@ def _shade_level(
     else:
         mtl_k = Mtl(*[g(f) for f in mtl])
         vv_k = g(vv)
-    case, ro, rd, bounce_left, drop_tir, chain_segs = _refraction_chain(
-        pack, cfg, surf_k, mtl_k, g(vn), vv_k, g(cos_phi1), g(refr_eff),
-        sel_valid, g(tasks.bounce), jax.random.fold_in(key, 2),
-    )
+    if "chain" in abl:
+        case = jnp.zeros((k_cap,), jnp.int32)
+        ro, rd = surf_k.p, vv_k
+        bounce_left = g(tasks.bounce)
+        drop_tir = jnp.zeros((), jnp.int32)
+        chain_segs = jnp.zeros((), jnp.int32)
+    else:
+        case, ro, rd, bounce_left, drop_tir, chain_segs = _refraction_chain(
+            pack, cfg, surf_k, mtl_k, g(vn), vv_k, g(cos_phi1), g(refr_eff),
+            sel_valid, g(tasks.bounce), jax.random.fold_in(key, 2),
+        )
     drop_refr = (jnp.sum(chain_cand) - jnp.sum(sel_valid)).astype(jnp.int32)
     segs = jnp.sum(tasks.active).astype(jnp.int32) + n_shadow + chain_segs
     refr_has_child = ((case == _CASE_FRONT) | (case == _CASE_OUT)) & sel_valid
@@ -671,6 +701,10 @@ def _shade_level(
             gi_env = jnp.where(env_valid[:, None], env * gi_albedo, 0.0)
             degen = (gi_d[:, 0] == gi_d[:, 1]) & (gi_d[:, 0] == 0.0)
             gi_env = jnp.where(degen[:, None], NAN_PURPLE, gi_env)
+        elif "gi" in abl:
+            gi_o, gi_d = surf.p, vn
+            gi_albedo = jnp.zeros((n, 3))
+            gi_env = jnp.zeros((n, 3))
         else:
             gi_o, gi_d, gi_albedo, gi_env = _gi_sample(
                 pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, 8:13]

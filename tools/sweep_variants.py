@@ -127,6 +127,15 @@ def main() -> None:
          lambda: T.set_divergent_mode("on"), lambda: T.set_divergent_mode("off")),
         ("stream_on", None,
          lambda: T.set_stream_mode("on"), lambda: T.set_stream_mode("off")),
+        # Component ablations (cfg.ablate stubs; images are wrong by
+        # construction — only the TIMING delta vs baseline means anything).
+        ("ablate_chain", {"ablate": "chain"}, None, None),
+        ("ablate_direct", {"ablate": "direct"}, None, None),
+        ("ablate_shadow", {"ablate": "shadow"}, None, None),
+        ("ablate_gi", {"ablate": "gi"}, None, None),
+        ("ablate_rng", {"ablate": "rng"}, None, None),
+        ("ablate_trace", {"ablate": "trace"}, None, None),
+        ("ablate_all", {"ablate": "chain,direct,gi,rng,trace"}, None, None),
         ("refr_cap_0.16", {"refr_capacity": 0.16}, None, None),
         ("refr_cap_1.0_lossless",
          {"refr_capacity": 1.0, "tir_tail_compaction": False,
