@@ -136,6 +136,36 @@ def box(w=1.0, d=1.0, h=1.0):
     return thin_slab(w, d, h)
 
 
+def plank(hx=0.4, hy=0.06, hz=2.2):
+    """Centered flat plank (metalBar.obj stand-in): thin in y, long in z."""
+    v, f = thin_slab(hx, hy, 2 * hz)
+    v = v - np.array([0.0, 0.0, hz], np.float32)
+    return v, f
+
+
+def studio_backdrop(half=4.0, wall_x=2.0, wall_h=4.0):
+    """Open photo-studio backdrop (background.obj stand-in): a y=0 floor
+    (normal +y) and a single back wall at x=wall_x (normal -x), open on
+    every other side so cameras placed anywhere in front see the scene."""
+    v = np.array(
+        [
+            [-half, 0, -half], [half, 0, -half],
+            [half, 0, half], [-half, 0, half],
+            [wall_x, 0, -half], [wall_x, 0, half],
+            [wall_x, wall_h, half], [wall_x, wall_h, -half],
+        ],
+        np.float32,
+    )
+    f = np.array(
+        [
+            [0, 2, 1], [0, 3, 2],  # floor, normal +y
+            [4, 5, 6], [4, 6, 7],  # back wall, normal -x
+        ],
+        np.int32,
+    )
+    return v, f
+
+
 def main(root: str) -> None:
     v, f = revolve(teapot_profile(), n_seg=64)
     for name in [
@@ -147,7 +177,10 @@ def main(root: str) -> None:
         write_obj(os.path.join(root, name), v, f)
     print(f"teapot stand-in: {v.shape[0]} verts, {f.shape[0]} tris")
 
-    v, f = torus()
+    # proj12_metals' golden shows flat planks (long in z, thin in y), stacked
+    # by the scene's +0.3 x/y translate steps; a torus stand-in at radius 3
+    # filled the whole camera frustum and blacked the frame.
+    v, f = plank()
     write_obj(os.path.join(root, "Resource/Data/metalBar.obj"), v, f)
     v, f = thin_slab()
     for name in [
@@ -162,9 +195,14 @@ def main(root: str) -> None:
         write_obj(os.path.join(root, name), v, f)
     v, f = revolve([(0.0, 0.0), (3.0, 0.0), (3.6, 2.0), (2.6, 4.2), (0.0, 4.6)], 48)
     write_obj(os.path.join(root, "Resource/BHRTFinal/02_cup.obj"), v, f)
+    # proj12_metals puts its camera INSIDE background.obj's footprint: a
+    # closed-box stand-in swallows the camera and renders black. The real
+    # asset is a photo-studio backdrop, so the stand-in is an OPEN one —
+    # floor plus back wall, normals facing the scene (no front/side walls).
+    v, f = studio_backdrop()
+    write_obj(os.path.join(root, "Resource/Data/background.obj"), v, f)
     v, f = box(4.0, 4.0, 0.8)
     for name in [
-        "Resource/Data/background.obj",
         "Resource/BHRTFinal/03_base.obj",
         "Resource/BHRTFinal/03_base_Internal.obj",
         "Resource/BHRTFinal/06_bigBase.obj",
