@@ -109,8 +109,9 @@ class RenderConfig:
     # shade-level components to stub out so image-level ablation sweeps can
     # attribute per-chunk cost on hardware where per-op microbenchmarks are
     # unreliable (the tunnel journals/replays same-input calls). Supported:
-    # "chain", "direct", "shadow", "gi", "rng". Renders with a non-empty
-    # value are WRONG images by construction.
+    # "chain", "direct", "shadow", "gi", "rng", "trace", "resolve",
+    # "compact". Renders with a non-empty value are WRONG images by
+    # construction.
     ablate: str = ""
 
     # Fuse the whole chunk (raygen + all shade levels + combine/finish) into

@@ -425,7 +425,8 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
         # Settled lanes would otherwise keep re-tracing their last real ray.
         ray_o = jnp.where(live[:, None], s["p"] - s["nrm"] * cfg.bias, _MISS_O)
         ray_d = jnp.where(live[:, None], s["d"], _MISS_D)
-        hit = trace_closest(pack, ray_o, ray_d, "both")
+        hit = trace_closest(pack, ray_o, ray_d, "both",
+                            reorder="reorder" not in cfg.ablate)
         sres = resolve_hit(pack, ray_o, ray_d, hit, jnp.zeros(3), jnp.zeros(3),
                            minimal=True, fast_rows=not cfg.differentiable)
 
@@ -580,7 +581,7 @@ def _shade_level(
                    front=jnp.ones((n,), bool), hit=jnp.ones((n,), bool))
     else:
         hit = trace_closest(pack, tasks.o, tasks.d, "front",
-                            reorder=level != 0)
+                            reorder=level != 0 and "reorder" not in abl)
     shade = tasks.active & hit.hit
 
     # --- per-level uniforms in ONE threefry call (30 scattered
@@ -607,7 +608,7 @@ def _shade_level(
         occ = trace_shadow(pack, fo.shadow_o, fo.shadow_d, fo.shadow_tmax,
                            cfg.shadow_bias,
                            plane_extent_bug=cfg.parity_plane_shadow_bug,
-                           reorder=level != 0)
+                           reorder=level != 0 and "reorder" not in abl)
         vis = jnp.where(occ & fo.gate, 0.0, 1.0)
         # The point-light r^2 == 0 branch returns BIG regardless of
         # visibility (_illuminate's where order).
@@ -618,8 +619,16 @@ def _shade_level(
         direct = jnp.where(jnp.isnan(direct[:, 0:1]), 0.0, direct)
         n_shadow = jnp.sum(fo.gate).astype(jnp.int32)
     else:
-        surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y,
-                           fast_rows=not cfg.differentiable)
+        if "resolve" in abl:
+            # Synthetic surface without the packed-row gather (timing only).
+            dn = normalize(tasks.d)
+            surf = Surface(p=tasks.o + tasks.d, n=-dn, uvw=jnp.zeros((n, 3)),
+                           duvw=jnp.zeros((n, 2, 3)),
+                           mtl=jnp.zeros((n,), jnp.int32), z=hit.t,
+                           front=hit.front)
+        else:
+            surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y,
+                               fast_rows=not cfg.differentiable)
 
         mtl = _fetch_mtl(pack, surf.mtl)
         vn = surf.n
@@ -640,7 +649,8 @@ def _shade_level(
         else:
             direct, n_shadow = _direct_light(
                 pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8],
-                shade, pmap=pmap, reorder=level != 0,
+                shade, pmap=pmap,
+                reorder=level != 0 and "reorder" not in abl,
             )
 
     # --- refraction chain on COMPACTED refractive lanes ---
@@ -650,7 +660,10 @@ def _shade_level(
     has_refr = jnp.any(refr_eff != 0.0, axis=1)  # !refraction.IsBlack()
     chain_cand = shade & has_refr & (tasks.bounce > 0)
     k_cap = cfg.refr_cap(n)
-    sel = partition_indices(chain_cand, k_cap)  # candidates first
+    if "compact" in abl:  # timing only: identity slots, no partition scan
+        sel = jnp.arange(k_cap, dtype=jnp.int32)
+    else:
+        sel = partition_indices(chain_cand, k_cap)  # candidates first
     sel_valid = chain_cand[sel]
 
     def g(x):

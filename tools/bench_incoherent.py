@@ -57,29 +57,49 @@ def main() -> None:
     rng = np.random.default_rng(0)
     n = args.rays
     # Origins scattered through the scene volume, directions uniform — the
-    # worst case the GI wavefront produces.
-    o = jnp.asarray(rng.uniform(-8, 8, (n, 3)) * np.array([1, 1, 0.5]) + [0, 0, 2],
-                    jnp.float32)
-    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    # worst case the GI wavefront produces. DISTINCT inputs per iteration:
+    # the tunneled TPU client serves repeated identical calls from a
+    # content-keyed replay cache (round-3 ledger), so same-input timing
+    # loops are fiction.
+    o = jnp.asarray(rng.uniform(-8, 8, (args.iters + 1, n, 3))
+                    * np.array([1, 1, 0.5]) + [0, 0, 2], jnp.float32)
+    d = jnp.asarray(rng.normal(size=(args.iters + 1, n, 3)), jnp.float32)
+    # Flip the client into eager mode (block_until_ready does not wait in
+    # the initial journaling mode; only a fetch is a true barrier).
+    np.asarray(jnp.zeros((1,)) + 1.0)
 
     def timed(name, fn):
+        # Digest-slope timing: each per-fetch round trip on the tunneled
+        # backend costs ~26-30ms, swamping kernels in the 1-10ms range. So:
+        # chain every output into a carried scalar digest (content differs
+        # every call -> no replay cache), fetch ONE scalar at the end, and
+        # difference two loop lengths so the RTT and loop-entry costs
+        # cancel. The slope is per-iteration wall (device compute, or the
+        # ~1.5ms dispatch floor if the kernel is cheaper than dispatch).
+        g = jax.jit(lambda o_, d_, acc: acc + jnp.sum(fn(o_, d_)))
+
+        def run(k):
+            a = jnp.zeros(())
+            t0 = time.time()
+            for i in range(k):
+                a = g(o[1 + (i % args.iters)], d[1 + (i % args.iters)], a)
+            float(a)
+            return time.time() - t0
+
         # One kernel failing to lower (Mosaic gaps show up on hardware
         # only) must not kill the rest of the sweep.
         try:
-            jax.block_until_ready(fn(o, d))
-            t0 = time.time()
-            out = None
-            for _ in range(args.iters):
-                out = fn(o, d)
-            jax.block_until_ready(out)
+            float(g(o[0], d[0], jnp.zeros(())))  # warm/compile + barrier
+            k1, k2 = max(2, args.iters // 2), 2 * args.iters
+            t1, t2 = run(k1), run(k2)
         except Exception as e:
             print(f"{name}: FAILED ({type(e).__name__}: "
                   f"{str(e).splitlines()[0][:200]})", flush=True)
             return
-        ms = (time.time() - t0) / args.iters * 1e3
+        ms = (t2 - t1) / (k2 - k1) * 1e3
         print(f"{name}: {ms:.2f} ms for {n} rays "
-              f"({n / ms / 1e3:.1f}M rays/s) on {jax.default_backend()}",
-              flush=True)
+              f"({n / ms / 1e3:.1f}M rays/s) slope over {k2 - k1} iters "
+              f"on {jax.default_backend()}", flush=True)
 
     timed("incoherent closest-hit (packet)",
           jax.jit(lambda o, d: T.trace_closest(pack, o, d, "front").t))

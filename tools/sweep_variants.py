@@ -135,7 +135,15 @@ def main() -> None:
         ("ablate_gi", {"ablate": "gi"}, None, None),
         ("ablate_rng", {"ablate": "rng"}, None, None),
         ("ablate_trace", {"ablate": "trace"}, None, None),
+        ("ablate_resolve", {"ablate": "resolve"}, None, None),
+        # reorder ablation: images are IDENTICAL (per-lane results don't
+        # depend on tile grouping); timing isolates the sort+permute fabric
+        # around every reordered trace.
+        ("ablate_reorder", {"ablate": "reorder"}, None, None),
+        ("ablate_compact", {"ablate": "compact"}, None, None),
         ("ablate_all", {"ablate": "chain,direct,gi,rng,trace"}, None, None),
+        ("ablate_all_resolve",
+         {"ablate": "chain,direct,gi,rng,trace,resolve,compact"}, None, None),
         ("refr_cap_0.16", {"refr_capacity": 0.16}, None, None),
         ("refr_cap_1.0_lossless",
          {"refr_capacity": 1.0, "tir_tail_compaction": False,
