@@ -80,8 +80,13 @@ class LevelRecord(NamedTuple):
     """Per-task values saved at each tree level for the backward combine.
 
     Refraction children are COMPACTED: the K = cfg.refr_cap(N) slots hold the
-    chain results for the (at most K) refractive lanes; `refr_slot` maps each
-    parent to its slot (-1 = no refraction child / dropped on overflow)."""
+    chain results for the (at most K) refractive lanes; `refr_sel` maps each
+    slot to its parent lane and `refr_valid` marks slots holding a real
+    candidate. (Round 3 replaced the old parent->slot map `refr_slot` (N,):
+    an N-sized scatter to build it plus eight N-sized gathers to consume it
+    — XLA:TPU serializes both per element — against ONE K-sized scatter of
+    the K-width combine term. Bit-exact: same math, computed per child
+    instead of per parent.)"""
 
     active: jnp.ndarray  # (N,) task holds a real ray
     hit: jnp.ndarray  # (N,)
@@ -89,15 +94,17 @@ class LevelRecord(NamedTuple):
     direct: jnp.ndarray  # (N,3) clamped direct-light term
     gi_albedo: jnp.ndarray  # (N,3) lobe albedo multiplying the GI child
     gi_env: jnp.ndarray  # (N,3) contribution if the GI child misses
-    refr_slot: jnp.ndarray  # (N,) i32 slot in the compacted refr arrays
+    refr_sel: jnp.ndarray  # (K,) i32 parent lane of each slot
+    refr_valid: jnp.ndarray  # (K,) bool slot holds a real candidate
     refr_has_child: jnp.ndarray  # (K,)
     refr_mult: jnp.ndarray  # (K,3) tint applied to the refr child's radiance
     refr_absorb: jnp.ndarray  # (K,3) Beer-Lambert coefficient (0 = none)
     refr_env: jnp.ndarray  # (K,3) contribution if the refr child misses
     refr_add: jnp.ndarray  # (K,3) terminal contribution when no child
-    # Per-lane slot into the level's compacted GI-child block (-1 = no
-    # child; identity arange when gi_capacity == 1.0).
-    gi_slot: jnp.ndarray  # (N,) i32
+    # GI-child slot -> parent lane map (G = cfg.gi_cap(N); identity arange
+    # when gi_capacity == 1.0, empty (0,) when GI is off at this level).
+    gi_sel: jnp.ndarray  # (G,) i32
+    gi_valid: jnp.ndarray  # (G,) bool
     # Silent-energy-loss instrumentation (scalars): refraction candidates
     # beyond the K-slot capacity, TIR stragglers beyond the tail width, and
     # live GI lanes beyond the GI-child capacity. All contribute black when
@@ -183,7 +190,7 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, u):
     """GetSampleInLight (MtlBlinn.cpp:637-695): the shading direction vL.
     u: (N, >=5) uniform columns."""
     n = surf.p.shape[0]
-    kind = pack.light_kind[lidx]
+    kind = lookup_rows(pack.light_kind, lidx)
     lvec = lookup_rows(pack.light_vec, lidx)
     lsize = lookup_rows(pack.light_size, lidx)
 
@@ -224,7 +231,7 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask, reorder=True):
     PointLight.cpp:7-18). u: (N, >=2) uniforms. Returns (irradiance (N,3),
     n_shadow () i32 — lanes issuing a real shadow query)."""
     n = p.shape[0]
-    kind = pack.light_kind[lidx]
+    kind = lookup_rows(pack.light_kind, lidx)
     lvec = lookup_rows(pack.light_vec, lidx)
     lsize = lookup_rows(pack.light_size, lidx)
     intensity = lookup_rows(pack.light_intensity, lidx)
@@ -698,11 +705,6 @@ def _shade_level(
     env_r, env_r_valid = sample_environment(pack, rd)
     refr_env = jnp.where(env_r_valid[:, None], refr_mult * env_r, 0.0)
     refr_add = jnp.where((case == _CASE_MISS)[:, None], NAN_PURPLE, 0.0)
-    refr_slot = (
-        jnp.full((n,), -1, jnp.int32)
-        .at[sel]
-        .set(jnp.where(sel_valid, jnp.arange(k_cap, dtype=jnp.int32), -1))
-    )
 
     # --- GI lobe ---
     gi_on = cfg.gi_active(level)
@@ -729,12 +731,6 @@ def _shade_level(
             # subtree, so open scenes stop paying full width per level.
             sel_g = partition_indices(shade, g_cap)
             sel_g_valid = shade[sel_g]
-            gi_slot = (
-                jnp.full((n,), -1, jnp.int32)
-                .at[sel_g]
-                .set(jnp.where(sel_g_valid,
-                               jnp.arange(g_cap, dtype=jnp.int32), -1))
-            )
             drop_gi = (jnp.sum(shade) - jnp.sum(sel_g_valid)).astype(jnp.int32)
             gi_children = Tasks(
                 o=gi_o[sel_g], d=gi_d[sel_g], active=sel_g_valid,
@@ -742,14 +738,18 @@ def _shade_level(
             )
         else:
             # Full width: identity mapping, bit-identical to the
-            # uncompacted layout (RNG streams are positional).
-            gi_slot = jnp.arange(n, dtype=jnp.int32)
+            # uncompacted layout (RNG streams are positional). The combine
+            # detects g_cap == n statically and uses child rows in place
+            # (no gather, no scatter).
+            sel_g = jnp.arange(n, dtype=jnp.int32)
+            sel_g_valid = shade
             gi_children = Tasks(o=gi_o, d=gi_d, active=shade,
                                 bounce=tasks.bounce)
     else:
         gi_albedo = jnp.zeros((n, 3))
         gi_env = jnp.zeros((n, 3))
-        gi_slot = jnp.full((n,), -1, jnp.int32)
+        sel_g = jnp.zeros((0,), jnp.int32)
+        sel_g_valid = jnp.zeros((0,), bool)
 
     rec = LevelRecord(
         active=tasks.active,
@@ -758,13 +758,15 @@ def _shade_level(
         direct=direct,
         gi_albedo=gi_albedo,
         gi_env=gi_env,
-        refr_slot=refr_slot,
+        refr_sel=sel,
+        refr_valid=sel_valid,
         refr_has_child=refr_has_child,
         refr_mult=refr_mult,
         refr_absorb=refr_absorb,
         refr_env=refr_env,
         refr_add=refr_add,
-        gi_slot=gi_slot,
+        gi_sel=sel_g,
+        gi_valid=sel_g_valid,
         drop_refr=drop_refr,
         drop_tir=drop_tir,
         drop_gi=drop_gi,
@@ -794,62 +796,68 @@ def _combine_level(
     child_hit,
 ):
     """Backward combine: Shade's stage sums with clamp + early-out semantics
-    (MtlBlinn.cpp:117-131). Children arrive as [gi (G)] ++ [refr (K)];
-    per-lane GI rows are looked up through rec.gi_slot (identity when
-    gi_capacity == 1.0)."""
+    (MtlBlinn.cpp:117-131). Children arrive as [gi (G)] ++ [refr (K)].
+
+    Both child terms are combined at CHILD width and routed to parents with
+    one child-width scatter (or, for the identity GI mapping, no routing at
+    all). The old parent->slot maps cost an N-sized scatter to build plus
+    nine N-sized gathers to consume — XLA:TPU serializes both per element
+    (round-3 ledger). Same math per child, bit-exact parent results."""
     n = rec.active.shape[0]
-    k_cap = rec.refr_has_child.shape[0]
     gi_on = cfg.gi_active(level)
     if gi_on:
         g_cap = cfg.gi_cap(n)
-        gslot = rec.gi_slot
-        gvalid = gslot >= 0
-        kg = jnp.clip(gslot, 0, g_cap - 1)
-        gi_rad = child_rad[:g_cap][kg]
-        gi_z = child_z[:g_cap][kg]
-        # Lanes without a slot take the no-hit path (environment term) —
-        # exact for dead lanes (their child would have been inactive);
-        # biased for dropped live lanes, which are counted in drop_gi and
-        # recovered by the adaptive re-render.
-        gi_hit = child_hit[:g_cap][kg] & gvalid
         r_rad, r_z, r_hit = (child_rad[g_cap:], child_z[g_cap:],
                              child_hit[g_cap:])
     else:
         r_rad, r_z, r_hit = child_rad, child_z, child_hit
 
-    slot = rec.refr_slot
-    valid = slot >= 0
-    k = jnp.clip(slot, 0, k_cap - 1)
-    hc = rec.refr_has_child[k]
-    mult = rec.refr_mult[k]
-    absorb_c = rec.refr_absorb[k]
-    env = rec.refr_env[k]
-    add = rec.refr_add[k]
-    c0_rad = r_rad[k]
-    c0_z = r_z[k]
-    c0_hit = r_hit[k]
-
-    absorb = jnp.exp(-absorb_c * c0_z[:, None])
-    refr = jnp.where(
-        hc[:, None],
+    # --- refraction term at K width, scattered to parent lanes ---
+    absorb = jnp.exp(-rec.refr_absorb * r_z[:, None])
+    refr_k = jnp.where(
+        rec.refr_has_child[:, None],
         jnp.where(
-            c0_hit[:, None],
-            _clamp_white(mult * absorb * c0_rad),
-            _clamp_white(env),
+            r_hit[:, None],
+            _clamp_white(rec.refr_mult * absorb * r_rad),
+            _clamp_white(rec.refr_env),
         ),
-        _clamp_white(add),
+        _clamp_white(rec.refr_add),
     )
-    refr = jnp.where(valid[:, None], refr, 0.0)
-    out = refr
+    refr_k = jnp.where(rec.refr_valid[:, None], refr_k, 0.0)
+    out = jnp.zeros((n, 3)).at[rec.refr_sel].set(refr_k, mode="drop")
     sat = jnp.all(out >= 1.0, axis=1)
 
     if gi_on:
+        # Slots whose child missed (or was dead) take the environment
+        # term; dropped live lanes beyond capacity keep their env default
+        # below — counted in drop_gi and recovered by the adaptive
+        # re-render.
+        g_rad, g_z, g_hit = (child_rad[:g_cap], child_z[:g_cap],
+                             child_hit[:g_cap])
+        if g_cap == n:
+            # Identity mapping (gi_capacity == 1.0): child row == parent
+            # lane; no gather, no scatter.
+            albedo_g, env_g, hit_g = rec.gi_albedo, rec.gi_env, g_hit
+        else:
+            albedo_g = rec.gi_albedo[rec.gi_sel]
+            env_g = rec.gi_env[rec.gi_sel]
+            hit_g = g_hit & rec.gi_valid
         gi_hit_term = jnp.where(
-            (gi_hit & (gi_z > cfg.bias))[:, None], gi_rad * rec.gi_albedo, 0.0
+            (hit_g & (g_z > cfg.bias))[:, None], g_rad * albedo_g, 0.0
         )
-        gi = jnp.where(gi_hit[:, None], gi_hit_term, rec.gi_env)
-        gi = jnp.where(jnp.isnan(gi[:, 0:1]), NAN_PURPLE, gi)
-        gi = _clamp_white(gi)
+        gi_g = jnp.where(hit_g[:, None], gi_hit_term, env_g)
+        gi_g = jnp.where(jnp.isnan(gi_g[:, 0:1]), NAN_PURPLE, gi_g)
+        gi_g = _clamp_white(gi_g)
+        if g_cap == n:
+            gi = gi_g
+        else:
+            # Parents without a slot keep their environment term (the
+            # no-child path the old slot map produced), with the same
+            # NaN-sentinel + clamp transforms applied at parent width.
+            env_full = jnp.where(jnp.isnan(rec.gi_env[:, 0:1]), NAN_PURPLE,
+                                 rec.gi_env)
+            env_full = _clamp_white(env_full)
+            gi = env_full.at[rec.gi_sel].set(gi_g, mode="drop")
         out = out + jnp.where(sat[:, None], 0.0, gi)
         sat = jnp.all(out >= 1.0, axis=1)
 

@@ -59,6 +59,17 @@ def lookup_rows(tab: jnp.ndarray, idx: jnp.ndarray,
     """
     rows = tab.shape[0]
     idx = jnp.clip(idx, 0, rows - 1)
+    if rows <= 16 and tab.dtype in (jnp.int32, jnp.bool_):
+        # Small int/bool tables take the same where-chain: XLA:TPU lowers
+        # even a (K,) i32 gather at wavefront width to a serialized
+        # per-element loop (~30ns/lane), so selects win by the same margin
+        # as the f32 case (round-3 ledger).
+        flat = tab.reshape(rows, -1)
+        out = jnp.broadcast_to(flat[0][None], idx.shape + flat.shape[1:])
+        for k in range(1, rows):
+            out = jnp.where((idx == k).reshape(idx.shape + (1,) * (flat.ndim - 1)),
+                            flat[k][None], out)
+        return out.reshape(idx.shape + tab.shape[1:])
     if tab.dtype != jnp.float32 or rows > max_onehot_rows:
         return tab[idx]
     if rows <= 16:

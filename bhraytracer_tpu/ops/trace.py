@@ -83,6 +83,19 @@ def set_stream_mode(mode: str) -> None:
     _STREAM_MODE = mode
 
 
+# Instrumentation ONLY (tools/sweep_variants.py): stub out individual
+# serialized gathers so image-level sweeps can attribute their cost.
+# Tokens: "inst" (face->instance id after each mesh trace), "rows"
+# (resolve_hit's packed (F,32) row gather). Renders with a non-empty set
+# are WRONG images by construction.
+_GATHER_STUB: frozenset = frozenset()
+
+
+def set_gather_stub(tokens: str) -> None:
+    global _GATHER_STUB
+    _GATHER_STUB = frozenset(t for t in tokens.split(",") if t)
+
+
 def _divergent_enabled(pack, reorder: bool) -> bool:
     if _DIVERGENT_MODE != "on" or not reorder:
         return False
@@ -452,7 +465,10 @@ def trace_closest(pack, o, d, hit_side: str = "front",
         else:
             t, face, front = bvh_closest(pack, 0, o, d, hit_side, best_t)
         upd = t < best_t
-        inst = pack.face_inst[jnp.clip(face, 0, pack.face_inst.shape[0] - 1)]
+        if "inst" in _GATHER_STUB:  # instrumentation only (set_gather_stub)
+            inst = jnp.zeros_like(face)
+        else:
+            inst = pack.face_inst[jnp.clip(face, 0, pack.face_inst.shape[0] - 1)]
         best_t = jnp.where(upd, t, best_t)
         best_kind = jnp.where(upd, KIND_MESH, best_kind)
         best_inst = jnp.where(upd, inst, best_inst)
@@ -640,7 +656,8 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False,
                 ],
                 -1,
             )
-        branches[KIND_SPHERE] = (t_s, p_s, n_s, uv_s, z3, z3, pack.sph_mtl[si],
+        branches[KIND_SPHERE] = (t_s, p_s, n_s, uv_s, z3, z3,
+                                 lookup_rows(pack.sph_mtl, si),
                                  lookup_rows(pack.sph_tm, si), s_itm,
                                  lookup_rows(pack.sph_pos, si))
 
@@ -681,7 +698,8 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False,
             d0, d1 = plane_duvw(dd_x), plane_duvw(dd_y)
         else:
             d0 = d1 = z3
-        branches[KIND_PLANE] = (t_p, p_p, n_p, uv_p, d0, d1, pack.pln_mtl[pi],
+        branches[KIND_PLANE] = (t_p, p_p, n_p, uv_p, d0, d1,
+                                lookup_rows(pack.pln_mtl, pi),
                                 lookup_rows(pack.pln_tm, pi), p_itm,
                                 lookup_rows(pack.pln_pos, pi))
 
@@ -695,7 +713,10 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False,
         dl = mat_vec(m_itm, d)
         fi = jnp.clip(hit.face, 0, pack.face_v.shape[0] - 1)
         if fast_rows:
-            rows = pack.resolve_rows[fi]  # (N,32): see pack.py field doc
+            if "rows" in _GATHER_STUB:  # instrumentation only
+                rows = jnp.broadcast_to(pack.resolve_rows[0], (n, 32))
+            else:
+                rows = pack.resolve_rows[fi]  # (N,32): see pack.py field doc
             v0, v1, v2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
         else:
             vi = pack.face_v[fi]
@@ -743,7 +764,8 @@ def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False,
             )
         fmtl = (rows[:, 27].astype(jnp.int32) if fast_rows
                 else pack.face_mtl[fi])
-        mtl_m = jnp.where(pack.msh_mtl[mi] >= 0, pack.msh_mtl[mi], fmtl)
+        m_ml = lookup_rows(pack.msh_mtl, mi)
+        mtl_m = jnp.where(m_ml >= 0, m_ml, fmtl)
         branches[KIND_MESH] = (t_m, p_m, n_m, uv_m, z3, z3, mtl_m,
                                lookup_rows(pack.msh_tm, mi), m_itm,
                                lookup_rows(pack.msh_pos, mi))

@@ -131,7 +131,8 @@ def test_fused_level_matches_xla(pack, tasks):
     np.testing.assert_allclose(rec_f.gi_env[hit], rec_x.gi_env[hit],
                                rtol=1e-3, atol=1e-5)
     # Refraction bookkeeping: identical discrete outcomes.
-    np.testing.assert_array_equal(rec_f.refr_slot, rec_x.refr_slot)
+    np.testing.assert_array_equal(rec_f.refr_sel, rec_x.refr_sel)
+    np.testing.assert_array_equal(rec_f.refr_valid, rec_x.refr_valid)
     np.testing.assert_array_equal(rec_f.refr_has_child, rec_x.refr_has_child)
     np.testing.assert_allclose(rec_f.refr_mult, rec_x.refr_mult,
                                rtol=1e-3, atol=1e-5)

@@ -144,6 +144,11 @@ def main() -> None:
         ("ablate_all", {"ablate": "chain,direct,gi,rng,trace"}, None, None),
         ("ablate_all_resolve",
          {"ablate": "chain,direct,gi,rng,trace,resolve,compact"}, None, None),
+        # Serialized-gather attribution (set_gather_stub; wrong images).
+        ("stub_instgather", None,
+         lambda: T.set_gather_stub("inst"), lambda: T.set_gather_stub("")),
+        ("stub_rowgather", None,
+         lambda: T.set_gather_stub("rows"), lambda: T.set_gather_stub("")),
         ("refr_cap_0.16", {"refr_capacity": 0.16}, None, None),
         ("refr_cap_1.0_lossless",
          {"refr_capacity": 1.0, "tir_tail_compaction": False,
