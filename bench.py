@@ -160,14 +160,19 @@ def _headline(passes: int = 3):
 
     pack, cam = _bench_scene()
     cam.width, cam.height = 800, 600
+    # fused_levels + whole-image chunks: the round-3 sweeps measured the
+    # staged 65K-chunk path at 100 ms/chunk (7.2M segs/s) vs ONE fused
+    # 480K-lane program per pass at 602 ms (9.3M segs/s) — program count
+    # and per-chunk fixed costs, not FLOPs, separated the two.
     cfg = RenderConfig(
         spp=1,
         gi_bounces=3,
         extra_refr_levels=2,
         tir_bounces=16,
-        chunk_rays=65536,
+        chunk_rays=480000,
         texture_sample_count=1,
         refr_capacity=0.08,
+        fused_levels=True,
     )
     cam_p = from_scene_camera(cam)
 
@@ -234,8 +239,9 @@ def _full_1024(spp: int = 1):
     pack, cam = _bench_scene()
     cam.width, cam.height = 1024, 1024
     cfg = RenderConfig(spp=spp, gi_bounces=3, extra_refr_levels=2,
-                       tir_bounces=16, chunk_rays=65536,
-                       texture_sample_count=1, refr_capacity=0.08)
+                       tir_bounces=16, chunk_rays=262144,
+                       texture_sample_count=1, refr_capacity=0.08,
+                       fused_levels=True)
     cam_p = from_scene_camera(cam)
     n = cfg.chunk_rays
     total = cam.width * cam.height

@@ -18,6 +18,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Stable-partition implementation: "scan" = cumsum + one N-sized scatter;
+# "topk" = lax.top_k over a rank score (no scatter; XLA:TPU's TopK custom
+# call vs its serialized per-element scatter). Both produce bit-identical
+# index lists; the switch exists so tools/sweep_variants.py can A/B the
+# cost at image level.
+_PARTITION_METHOD = "scan"
+
+
+def set_partition_method(method: str) -> None:
+    global _PARTITION_METHOD
+    assert method in ("scan", "topk")
+    _PARTITION_METHOD = method
+
 
 def partition_indices(mask: jnp.ndarray, k: int | None = None) -> jnp.ndarray:
     """Indices of the stable partition that places `mask` lanes first.
@@ -28,6 +41,13 @@ def partition_indices(mask: jnp.ndarray, k: int | None = None) -> jnp.ndarray:
     """
     n = mask.shape[0]
     k = n if k is None else k
+    if _PARTITION_METHOD == "topk":
+        # Rank score: True lanes in [n+1, 2n] descending in i, False lanes
+        # in [1, n] descending in i -> top_k (descending, stable) yields
+        # True lanes in ascending-i order, then False lanes ascending.
+        i = jnp.arange(n, dtype=jnp.int32)
+        score = jnp.where(mask, 2 * n - i, n - i)
+        return jax.lax.top_k(score, k)[1].astype(jnp.int32)
     m = mask.astype(jnp.int32)
     c_true = jnp.cumsum(m)
     n_true = c_true[-1]

@@ -39,9 +39,15 @@ REGIONS = [
     ("back_wall_mid", 300, 500, 120, 220),
     ("ceiling_light", 300, 500, 10, 60),
 ]
-# Region-mean tolerance (u8 counts). Covers low-spp noise on the mean plus
-# the documented missing-mesh caustic deficit.
-TOL = 18.0
+# Region-mean tolerances (u8 counts), split per VERDICT r2 #6: the missing
+# glass meshes (absent from the reference checkout) redirect caustic/GI
+# light onto every wall in the golden, so our analytic regions sit a
+# near-uniform ~4-7% dimmer. That scalar deficit is bounded by TOL_DEFICIT;
+# after removing it, per-region/per-channel structure must agree within
+# TOL_STRUCT (measured residuals at spp=2: <= 4.3/255; see the per-region
+# table in the round-3 commit).
+TOL_STRUCT = 6.0
+TOL_DEFICIT = 14.0
 
 
 def test_cornell_matches_reference_golden(reference_dir):
@@ -60,18 +66,69 @@ def test_cornell_matches_reference_golden(reference_dir):
                        texture_sample_count=1)
     img = image_to_u8(render_image(pack, cam, cfg, seed=3))
 
-    failures = []
+    deltas = {}
     for name, x0, x1, y0, y1 in REGIONS:
         ours = img[y0 // scale:y1 // scale, x0 // scale:x1 // scale]
         gold = golden[y0:y1, x0:x1]
-        mo = ours.mean(axis=(0, 1))
-        mg = gold.mean(axis=(0, 1))
-        if np.abs(mo - mg).max() > TOL:
-            failures.append((name, mo.round(1).tolist(), mg.round(1).tolist()))
-    assert not failures, failures
+        deltas[name] = (ours.mean(axis=(0, 1)).astype(np.float64)
+                        - gold.mean(axis=(0, 1)).astype(np.float64))
+    d = np.stack(list(deltas.values()))  # (regions, 3)
+    deficit = float(d.mean())
+    # The global brightness deficit is one scalar (missing-mesh caustics,
+    # always dimmer-or-equal on our side) ...
+    assert -TOL_DEFICIT <= deficit <= 2.0, (deficit, deltas)
+    # ... and after removing it, regional/chromatic structure pins tight.
+    resid = np.abs(d - deficit).max()
+    assert resid <= TOL_STRUCT, (resid, deficit, deltas)
 
     # Whole-image sanity: global means in the same ballpark (the missing
     # glass meshes cover ~20% of the frame, so allow a wide band).
     g_ours = img.mean()
     g_gold = golden.mean()
     assert abs(g_ours - g_gold) < 40, (g_ours, g_gold)
+
+
+def test_metals_matches_reference_golden(reference_dir):
+    """proj12_metals (Resource/Result/proj12_metals.png): four stacked
+    metal bars over a studio backdrop, pure greyscale. The bars and
+    backdrop are MESHES absent from the reference checkout, so stand-in
+    geometry (tools/gen_assets.py) only approximates the frame — the pins
+    here are structural: greyscale output, the top two bars' band means
+    near the golden's, and the brightness ordering top > second > lower
+    bars (the golden's 126.5 / 100.7 / 68.1 / 56.9 gradient)."""
+    golden = read_png(
+        os.path.join(reference_dir, "Resource", "Result",
+                     "proj12_metals.png"))[:, :, :3].astype(np.float64)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pack, cam = load_scene(
+            os.path.join(reference_dir, "Resource", "Data",
+                         "proj12_metals.xml"),
+            resource_root=os.path.join(os.path.dirname(__file__), "..",
+                                       "assets"),
+        )
+    scale = 4  # 200x150
+    cam.width, cam.height = 800 // scale, 600 // scale
+    cfg = RenderConfig(spp=2, gi_bounces=2, extra_refr_levels=1,
+                       tir_bounces=4, chunk_rays=30000,
+                       texture_sample_count=1)
+    img = image_to_u8(render_image(pack, cam, cfg, seed=1)).astype(np.float64)
+
+    # Greyscale scene: both renders must have R == G == B.
+    assert np.abs(golden[..., 0] - golden[..., 2]).max() == 0.0
+    assert np.abs(img[..., 0] - img[..., 2]).max() <= 1.0
+
+    def band(im, x0, x1, y0, y1, s=1):
+        return float(im[y0 // s:y1 // s, x0 // s:x1 // s].mean())
+
+    bands = [(200, 600, 180, 215), (200, 600, 255, 290),
+             (200, 600, 330, 365), (200, 600, 400, 435)]
+    bg = [band(golden, *b) for b in bands]
+    bo = [band(img, *b, s=scale) for b in bands]
+    # Top two bars land on the golden's band means.
+    assert abs(bo[0] - bg[0]) <= 14.0, (bo, bg)
+    assert abs(bo[1] - bg[1]) <= 14.0, (bo, bg)
+    # Brightness gradient: top bar > second > both lower bars.
+    assert bo[0] > bo[1] + 10 > max(bo[2], bo[3]) + 20, bo

@@ -144,6 +144,11 @@ def main() -> None:
         ("ablate_all", {"ablate": "chain,direct,gi,rng,trace"}, None, None),
         ("ablate_all_resolve",
          {"ablate": "chain,direct,gi,rng,trace,resolve,compact"}, None, None),
+        ("partition_topk", None,
+         lambda: __import__("bhraytracer_tpu.ops.compact",
+                            fromlist=["x"]).set_partition_method("topk"),
+         lambda: __import__("bhraytracer_tpu.ops.compact",
+                            fromlist=["x"]).set_partition_method("scan")),
         # Serialized-gather attribution (set_gather_stub; wrong images).
         ("stub_instgather", None,
          lambda: T.set_gather_stub("inst"), lambda: T.set_gather_stub("")),
