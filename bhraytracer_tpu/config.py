@@ -115,11 +115,11 @@ class RenderConfig:
     ablate: str = ""
 
     # Fuse the whole chunk (raygen + all shade levels + combine/finish) into
-    # ONE compiled program instead of ~9 per-level stages. On the tunneled
-    # TPU each program execution costs ~10-25ms of fixed overhead while the
-    # actual device compute at 65K lanes is ~1ms — program count per image,
-    # not FLOPs, sets the render rate (tools/microbench.py, round 3). Costs
-    # one big compile per (chunk, cfg) shape; the round-1 SIGILL in the TPU
+    # ONE compiled program instead of ~9 per-level stages. TPU-measured
+    # (round 3): 89.0 vs 100.0 ms/chunk at 65K lanes, and the fused path is
+    # the only one that compiles at 480K-lane whole-image chunks (the
+    # staged stages hit remote-compile failures there). Costs one big
+    # compile per (chunk, cfg) shape; the round-1 SIGILL in the TPU
     # compiler's fusion pass on this program has not reproduced since.
     fused_levels: bool = False
 

@@ -198,10 +198,10 @@ def _sample_in_light(pack, lidx, surf: Surface, mtl: Mtl, new_spec_color, u):
     ks = jnp.max(new_spec_color, axis=1)
 
     vl_c = lvec - surf.p  # hit -> light center
-    d_vl, d_theta = sample_along_light_direction(
+    d_vl, d_cos = sample_along_light_direction(
         normalize(vl_c), mtl.gloss, u[:, 0], u[:, 1]
     )
-    p_diffuse = safe_pow(jnp.cos(d_theta), mtl.gloss)
+    p_diffuse = safe_pow(d_cos, mtl.gloss)
 
     r = u[:, 2]
     big_r = jnp.sqrt(r) * lsize
@@ -329,13 +329,12 @@ def _gi_sample(pack, cfg, surf, mtl: Mtl, new_spec_color, vn, vv, u):
     kd = jnp.max(mtl.diffuse, axis=1)
     ks = jnp.max(new_spec_color, axis=1)
 
-    d_dir, d_theta = sample_in_semisphere(vn, u[:, 0], u[:, 1])
+    d_dir, p_dt = sample_in_semisphere(vn, u[:, 0], u[:, 1])
     d_dir = normalize(d_dir)
-    p_dt = jnp.sin(2.0 * d_theta)
 
     vr = 2.0 * dot(vn, vv, keepdims=True) * vn - vv
-    s_dir, s_theta = sample_along_light_direction(vr, mtl.gloss, u[:, 2], u[:, 3])
-    p_st = safe_pow(jnp.cos(s_theta), mtl.gloss)
+    s_dir, s_cos = sample_along_light_direction(vr, mtl.gloss, u[:, 2], u[:, 3])
+    p_st = safe_pow(s_cos, mtl.gloss)
 
     pd_norm = safe_div(kd * p_dt, kd * p_dt + ks * p_st)
     use_spec = u[:, 4] >= pd_norm

@@ -118,16 +118,15 @@ def _photon_bounce(pack, cfg, surf, mtl, ray_d, power, key, caustic: bool):
     # --- diffuse/specular lobe machinery (shared, MtlBlinn.cpp:163-187) ---
     kd = jnp.max(mtl.diffuse, axis=1)
     ks = jnp.max(mtl.specular, axis=1)
-    d_dir, d_theta = sample_in_semisphere(vn, _uni(key, 1, (n,)), _uni(key, 2, (n,)))
+    d_dir, p_dt = sample_in_semisphere(vn, _uni(key, 1, (n,)), _uni(key, 2, (n,)))
     d_dir = normalize(d_dir)
-    p_dt = jnp.sin(2.0 * d_theta)
     vr = 2.0 * dot(vn, vv, keepdims=True) * vn - vv
-    s_dir, s_theta = sample_along_light_direction(
+    s_dir, s_cos = sample_along_light_direction(
         vr, mtl.gloss, _uni(key, 3, (n,)), _uni(key, 4, (n,))
     )
     from bhraytracer_tpu.ops.linalg import safe_pow
 
-    p_st = safe_pow(jnp.cos(s_theta), mtl.gloss)
+    p_st = safe_pow(s_cos, mtl.gloss)
     p_diffuse_raw = safe_div(kd * p_dt, kd * p_dt + ks * p_st)
     p_diff = p_diffuse_raw * (1.0 - absorb) + absorb
     p_spec = (1.0 - p_diff) * (1.0 - absorb) + absorb

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from bhraytracer_tpu.ops.linalg import acos_safe, cross, dot, normalize
+from bhraytracer_tpu.ops.linalg import cross, dot, normalize, safe_sqrt
 
 TWO_PI = 2.0 * jnp.pi
 
@@ -47,29 +47,38 @@ def sample_along_normal(n, radius, u1, u2):
 
 def sample_along_light_direction(n, glossiness, u1, u2):
     """Phong-lobe-ish sample around (unnormalized) n with exponent
-    `glossiness` (MtlBlinn.cpp:619-635). Returns (dir, theta); dir is NOT
-    normalized (reference parity)."""
-    theta = acos_safe(jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (glossiness + 1.0)))
-    r = jnp.tan(theta)
+    `glossiness` (MtlBlinn.cpp:619-635). Returns (dir, cos_theta); dir is
+    NOT normalized (reference parity).
+
+    The reference computes theta = acos(u^(1/(g+1))) then tan(theta); both
+    transcendentals are eliminated algebraically (cos theta = c,
+    tan theta = sqrt(1-c^2)/c for theta in [0, pi/2)) — the VPU pays only
+    the irreducible pow. Callers only ever consume cos(theta), so the
+    angle itself is never materialized."""
+    c = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (glossiness + 1.0))
+    r = safe_sqrt(jnp.maximum(1.0 - c * c, 0.0)) / jnp.maximum(c, 1e-30)
     phi = u2 * TWO_PI
     a1, a2 = _frame_axes(n)
     d = n + a1 * (r * jnp.cos(phi))[..., None] + a2 * (r * jnp.sin(phi))[..., None]
-    return d, theta
+    return d, c
 
 
 def sample_in_semisphere(n, u1, u2):
     """Hemisphere sample around normalized n (MtlBlinn.cpp:697-716).
 
-    theta = 0.5*acos(1-2u) in [0, pi/2); returns (dir, theta) with dir
-    normalized (the reference normalizes at the call sites)."""
+    theta = 0.5*acos(1-2u) in [0, pi/2); returns (dir, sin_2theta) with dir
+    normalized (the reference normalizes at the call sites). Half-angle
+    identities replace the acos/sin/cos chain: cos theta = sqrt(1-u),
+    sin theta = sqrt(u), sin 2theta = 2 sqrt(u(1-u)). The only consumer of
+    theta is the reference's sin(2 theta) pdf weight (MtlBlinn.cpp:377)."""
     a_y = normalize(cross(n, crossing_vector(n)))
     a_x = cross(n, a_y)
     phi = u1 * TWO_PI
-    theta = 0.5 * acos_safe(1.0 - 2.0 * u2)
-    st = jnp.sin(theta)
+    ct = safe_sqrt(jnp.maximum(1.0 - u2, 0.0))
+    st = safe_sqrt(jnp.maximum(u2, 0.0))
     d = (
         (st * jnp.cos(phi))[..., None] * a_x
         + (st * jnp.sin(phi))[..., None] * a_y
-        + jnp.cos(theta)[..., None] * n
+        + ct[..., None] * n
     )
-    return d, theta
+    return d, 2.0 * st * ct
