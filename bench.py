@@ -487,9 +487,10 @@ def main():
         "value": round(segs_per_sec),
         "unit": "segments/s",
         "vs_baseline": round(segs_per_sec / BASELINE_SEGMENTS_PER_SEC, 3),
-        "measurement": "distinct chunks of the full 800x600 image x3 passes, "
+        "measurement": "full 800x600 image per pass (one fused 480K-lane "
+                       "program) x3 passes with distinct sample keys, "
                        "FETCH-BARRIER timed (block_until_ready does not wait "
-                       "on this backend; every chunk's stats vector is "
+                       "on this backend; every pass's stats vector is "
                        "fetched inside the timed window)",
         "per_chunk_ms": round(per_chunk_ms, 1),
         "image_wall_s_800x600_spp1": round(image_wall, 3),
