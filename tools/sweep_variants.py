@@ -36,6 +36,10 @@ def main() -> None:
                     help="lanes per dispatch; bigger chunks amortize the "
                          "~1.5ms/dispatch tunnel RTT over more work "
                          "(480000 = whole 800x600 image in one chunk)")
+    ap.add_argument("--fused", action="store_true",
+                    help="base every variant on fused_levels=True (required "
+                         "at 480K-lane chunks: the staged stages hit "
+                         "remote-compile failures there)")
     args = ap.parse_args()
 
     from bhraytracer_tpu.utils.cache import enable_compilation_cache
@@ -60,7 +64,7 @@ def main() -> None:
     cam.width, cam.height = 800, 600
     base = dict(spp=1, gi_bounces=3, extra_refr_levels=2, tir_bounces=16,
                 chunk_rays=args.chunk, texture_sample_count=1,
-                refr_capacity=0.08)
+                refr_capacity=0.08, fused_levels=args.fused)
     cam_p = from_scene_camera(cam)
     n = base["chunk_rays"]
     total = 800 * 600
