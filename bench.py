@@ -436,8 +436,15 @@ print("SCALING " + json.dumps(out))
         if line.startswith("SCALING "):
             rates = json.loads(line[len("SCALING "):])
             base = rates["1"]
+            # Retention vs the 1-device run is the honest metric here: the 8
+            # "devices" are one host CPU's cores partitioned by XLA, so total
+            # compute is FIXED — ideal sharding keeps throughput FLAT (1.0),
+            # and any drop is overhead the dp sharding itself added
+            # (collectives, partitioned-program inefficiency). Per-chip
+            # scaling efficiency (the >=80% BASELINE target) needs real
+            # multi-chip hardware, which this environment lacks.
             return {nd: {"rays_per_sec": round(v),
-                         "efficiency": round(v / (base * int(nd)), 3)}
+                         "retention_vs_1dev": round(v / base, 3)}
                     for nd, v in rates.items()}
     raise RuntimeError(f"scaling subprocess failed: {r.stderr[-2000:]}")
 
@@ -513,8 +520,11 @@ def main():
         try:
             full["scaling_virtual_cpu_mesh"] = _scaling_curve()
             full["scaling_note"] = (
-                "8 virtual CPU devices (no multi-chip TPU hardware in this "
-                "environment); validates dp sharding, not ICI bandwidth")
+                "8 virtual CPU devices sharing ONE host's cores (no "
+                "multi-chip TPU in this environment): total compute is "
+                "fixed, so ideal dp sharding keeps throughput FLAT; "
+                "retention_vs_1dev ~= 1.0 means the sharding adds no "
+                "serialization. Per-chip scaling needs real chips.")
         except Exception as e:  # pragma: no cover
             full["scaling_error"] = str(e)[:500]
         line["full"] = full

@@ -114,6 +114,32 @@ class RenderConfig:
     # construction.
     ablate: str = ""
 
+    # Fine-grained coherence-reorder toggles, one per trace family. The
+    # reorder sort is ORDER-ONLY (per-lane results and RNG pairing do not
+    # depend on tile grouping, so flipping any of these is bit-identical) —
+    # but each reordered trace pays an argsort (bitonic, O(n log^2 n)) plus
+    # an inverse-permutation scatter (XLA:TPU serializes scatters at
+    # ~30ns/element), and the CHAIN pays that per trip inside its
+    # while_loop. These exist so image-level sweeps can price each family
+    # separately; defaults reflect the round-4 TPU measurements.
+    closest_reorder: bool = True
+    shadow_reorder: bool = True
+    chain_reorder: bool = True
+
+    # Once-per-level coherence presort: sort the level's tasks by
+    # (active, direction octant, origin cell) ONCE, run every trace in the
+    # level with reorder=False (the closest trace directly; shadow rays
+    # inherit origin coherence; chain lanes inherit it through the stable
+    # partition), and unsort once at level end. One argsort + one
+    # inverse-permutation scatter + cheap gathers per level, replacing that
+    # pair PER TRACE plus per-chain-trip. Semantically order-only: per-lane
+    # uniforms travel with their task, and the child compaction partitions
+    # over the ORIGINAL lane order (composed through the permutation), so
+    # slot-positional RNG pairing matches the non-presorted path exactly;
+    # images differ only by XLA fusion-boundary rounding
+    # (tests/test_level_presort.py pins stats/z equal, radiance ulp-close).
+    level_presort: bool = False
+
     # Fuse the whole chunk (raygen + all shade levels + combine/finish) into
     # ONE compiled program instead of ~9 per-level stages. TPU-measured
     # (round 3): 89.0 vs 100.0 ms/chunk at 65K lanes, and the fused path is

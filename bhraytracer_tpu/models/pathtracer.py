@@ -72,6 +72,23 @@ def _clamp_white(c):
     return jnp.minimum(c, 1.0)
 
 
+def _tag_trace(x, on: bool):
+    """Name discrete trace outputs for the AD remat policy: traversal
+    (stop-gradient by design — hit ids have no cotangent) is the expensive
+    half of a level's forward, so `_remat_policy` SAVES these few small
+    int/bool arrays as residuals and the backward recompute replays only
+    the differentiable shading math, never the traversal kernels."""
+    if not on:
+        return x
+    from jax.ad_checkpoint import checkpoint_name
+
+    return jax.tree_util.tree_map(lambda a: checkpoint_name(a, "trace"), x)
+
+
+def _remat_policy():
+    return jax.checkpoint_policies.save_only_these_names("trace")
+
+
 def _uni(key, tag: int, shape):
     return jax.random.uniform(jax.random.fold_in(key, tag), shape)
 
@@ -255,14 +272,17 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask, reorder=True):
     if "shadow" in cfg.ablate:  # instrumentation only (config.py)
         occ = jnp.zeros((n,), bool)
     else:
-        occ = trace_shadow(
-            pack,
-            shadow_o,
-            shadow_d,
-            t_max,
-            cfg.shadow_bias,
-            plane_extent_bug=cfg.parity_plane_shadow_bug,
-            reorder=reorder,
+        occ = _tag_trace(
+            trace_shadow(
+                pack,
+                shadow_o,
+                shadow_d,
+                t_max,
+                cfg.shadow_bias,
+                plane_extent_bug=cfg.parity_plane_shadow_bug,
+                reorder=reorder,
+            ),
+            cfg.differentiable,
         )
     vis = jnp.where(occ & (is_point | is_direct) & mask, 0.0, 1.0)
 
@@ -387,7 +407,8 @@ def _glossy_refr_dir(vt, vn, rgloss, key, tag, want_negative: bool, tries: int):
     return jnp.where((use & found)[:, None], chosen, jnp.where(use[:, None], normalize(vt), normalize(vt)))
 
 
-def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, active, bounce, key):
+def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff,
+                      active, bounce, key, reorder: bool = True):
     """Run the enter/TIR/exit chain. Returns (case, child_o, child_d,
     bounce_left)."""
     n = surf.p.shape[0]
@@ -431,10 +452,11 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
         # Settled lanes would otherwise keep re-tracing their last real ray.
         ray_o = jnp.where(live[:, None], s["p"] - s["nrm"] * cfg.bias, _MISS_O)
         ray_d = jnp.where(live[:, None], s["d"], _MISS_D)
-        hit = trace_closest(pack, ray_o, ray_d, "both",
-                            reorder="reorder" not in cfg.ablate)
+        hit = _tag_trace(
+            trace_closest(pack, ray_o, ray_d, "both", reorder=reorder),
+            cfg.differentiable)
         sres = resolve_hit(pack, ray_o, ray_d, hit, jnp.zeros(3), jnp.zeros(3),
-                           minimal=True, fast_rows=not cfg.differentiable)
+                           minimal=True, fast_rows=True)
 
         # miss -> NANPurple sentinel (RefractionRecusive else-branch :514-518)
         miss = live & ~hit.hit
@@ -500,7 +522,8 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff, act
     if cfg.differentiable:
         # Fixed-trip scan: reverse-mode AD cannot cross while_loop. The body
         # is a fixpoint (settled lanes no-op), so extra trips are exact.
-        body_d = jax.checkpoint(body) if cfg.remat_levels else body
+        body_d = (jax.checkpoint(body, policy=_remat_policy())
+                  if cfg.remat_levels else body)
 
         def scan_body(s, _):
             return jax.lax.cond(jnp.any(~s["settled"]), body_d, lambda x: x, s), None
@@ -565,6 +588,14 @@ def _shade_level(
     pack, cfg: RenderConfig, tasks: Tasks, level: int, key, dd_x, dd_y, pmap=None
 ) -> Tuple[LevelRecord, Tasks, Surface]:
     n = tasks.o.shape[0]
+    if cfg.differentiable and pack.face_v.shape[0]:
+        # AD path: swap in an in-jit rebuild of the packed resolve rows so
+        # the fast one-row-gather resolve works under reverse mode with
+        # vertex/normal/uv gradients intact (rows_from_pools). Bit-identical
+        # values; F-sized, traced once per program.
+        from bhraytracer_tpu.ops.trace import rows_from_pools
+
+        pack = dataclasses.replace(pack, resolve_rows=rows_from_pools(pack))
     # Inactive lanes carry stale rays that would still pay full traversal:
     # route them to a canonical miss ray so coherence reordering clusters
     # them into instantly-retired tiles.
@@ -576,6 +607,24 @@ def _shade_level(
     # Instrumentation-only component stubs (cfg.ablate; see config.py).
     abl = set(cfg.ablate.split(",")) if cfg.ablate else set()
 
+    # Once-per-level coherence presort (cfg.level_presort): pay ONE argsort
+    # + ONE inverse-permutation scatter here, then run every trace in the
+    # level reorder=False. Per-lane uniforms (u_tab) are drawn in the
+    # ORIGINAL lane order and permuted alongside the tasks, so each task
+    # keeps its RNG stream; only the chain's slot-keyed glossy-refraction
+    # draws pair differently (see config.py).
+    presort = (cfg.level_presort and level != 0 and "reorder" not in abl
+               and "trace" not in abl)
+    perm = inv = None
+    if presort:
+        from bhraytracer_tpu.ops.compact import inverse_permutation
+        from bhraytracer_tpu.ops.trace import coherence_perm
+
+        perm = coherence_perm(pack, tasks.o, tasks.d, tasks.active)
+        inv = inverse_permutation(perm)
+        tasks = Tasks(o=tasks.o[perm], d=tasks.d[perm],
+                      active=tasks.active[perm], bounce=tasks.bounce[perm])
+
     # Level-0 camera rays arrive in scanline order — already coherent, so
     # the packet kernels' reorder sort would only cost there.
     if "trace" in abl:
@@ -586,8 +635,11 @@ def _shade_level(
                    face=jnp.full((n,), -1, jnp.int32),
                    front=jnp.ones((n,), bool), hit=jnp.ones((n,), bool))
     else:
-        hit = trace_closest(pack, tasks.o, tasks.d, "front",
-                            reorder=level != 0 and "reorder" not in abl)
+        hit = _tag_trace(
+            trace_closest(pack, tasks.o, tasks.d, "front",
+                          reorder=level != 0 and cfg.closest_reorder
+                          and not presort and "reorder" not in abl),
+            cfg.differentiable)
     shade = tasks.active & hit.hit
 
     # --- per-level uniforms in ONE threefry call (30 scattered
@@ -596,6 +648,8 @@ def _shade_level(
         u_tab = jnp.full((n, 13), 0.5)
     else:
         u_tab = jax.random.uniform(jax.random.fold_in(key, 1), (n, 13))
+        if presort:
+            u_tab = u_tab[perm]
 
     from bhraytracer_tpu.ops.trace import _pallas_enabled
     from bhraytracer_tpu.ops.pallas_shade import shade_setup, shade_setup_supported
@@ -614,7 +668,8 @@ def _shade_level(
         occ = trace_shadow(pack, fo.shadow_o, fo.shadow_d, fo.shadow_tmax,
                            cfg.shadow_bias,
                            plane_extent_bug=cfg.parity_plane_shadow_bug,
-                           reorder=level != 0 and "reorder" not in abl)
+                           reorder=level != 0 and cfg.shadow_reorder
+                           and not presort and "reorder" not in abl)
         vis = jnp.where(occ & fo.gate, 0.0, 1.0)
         # The point-light r^2 == 0 branch returns BIG regardless of
         # visibility (_illuminate's where order).
@@ -634,7 +689,7 @@ def _shade_level(
                            front=hit.front)
         else:
             surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y,
-                               fast_rows=not cfg.differentiable)
+                               fast_rows=True)
 
         mtl = _fetch_mtl(pack, surf.mtl)
         vn = surf.n
@@ -656,7 +711,8 @@ def _shade_level(
             direct, n_shadow = _direct_light(
                 pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8],
                 shade, pmap=pmap,
-                reorder=level != 0 and "reorder" not in abl,
+                reorder=level != 0 and cfg.shadow_reorder
+                and not presort and "reorder" not in abl,
             )
 
     # --- refraction chain on COMPACTED refractive lanes ---
@@ -668,6 +724,14 @@ def _shade_level(
     k_cap = cfg.refr_cap(n)
     if "compact" in abl:  # timing only: identity slots, no partition scan
         sel = jnp.arange(k_cap, dtype=jnp.int32)
+    elif presort:
+        # Partition over the ORIGINAL lane order (mask unsorted through
+        # inv), composed back into sorted space: slot j then holds the SAME
+        # original-lane candidate as the unsorted partition would give, so
+        # child slot order — and every slot-positional RNG draw downstream
+        # (next level's u_tab rows, the chain's glossy-refraction draws) —
+        # is bit-identical to the non-presorted path.
+        sel = inv[partition_indices(chain_cand[inv], k_cap)]
     else:
         sel = partition_indices(chain_cand, k_cap)  # candidates first
     sel_valid = chain_cand[sel]
@@ -694,6 +758,8 @@ def _shade_level(
         case, ro, rd, bounce_left, drop_tir, chain_segs = _refraction_chain(
             pack, cfg, surf_k, mtl_k, g(vn), vv_k, g(cos_phi1), g(refr_eff),
             sel_valid, g(tasks.bounce), jax.random.fold_in(key, 2),
+            reorder=cfg.chain_reorder and not presort
+            and "reorder" not in abl,
         )
     drop_refr = (jnp.sum(chain_cand) - jnp.sum(sel_valid)).astype(jnp.int32)
     segs = jnp.sum(tasks.active).astype(jnp.int32) + n_shadow + chain_segs
@@ -728,7 +794,8 @@ def _shade_level(
             # Compact live GI children (shade lanes) into g_cap slots, like
             # the refraction chain above: missed/inactive lanes need no GI
             # subtree, so open scenes stop paying full width per level.
-            sel_g = partition_indices(shade, g_cap)
+            sel_g = (inv[partition_indices(shade[inv], g_cap)]
+                     if presort else partition_indices(shade, g_cap))
             sel_g_valid = shade[sel_g]
             drop_gi = (jnp.sum(shade) - jnp.sum(sel_g_valid)).astype(jnp.int32)
             gi_children = Tasks(
@@ -750,10 +817,36 @@ def _shade_level(
         sel_g = jnp.zeros((0,), jnp.int32)
         sel_g_valid = jnp.zeros((0,), bool)
 
+    active_rec, hit_rec, z_rec = tasks.active, hit.hit, surf.z
+    if presort:
+        # Back to the ORIGINAL task order: N-wide level outputs gather
+        # through the inverse permutation (cheap — bulk gathers vectorize);
+        # K-slot refraction / G-slot GI values stay in slot space with
+        # their parent-lane maps composed through the forward permutation.
+        # `surf` stays sorted — callers only consume surf at level 0, which
+        # never presorts.
+        active_rec, hit_rec, z_rec = (tasks.active[inv], hit.hit[inv],
+                                      surf.z[inv])
+        direct = direct[inv]
+        gi_albedo = gi_albedo[inv]
+        gi_env = gi_env[inv]
+        sel = perm[sel]
+        if gi_on:
+            if sel_g.shape[0] == n:
+                # Identity GI mapping: child row == parent lane; unsort the
+                # children so the alignment holds in original space.
+                gi_children = Tasks(o=gi_children.o[inv],
+                                    d=gi_children.d[inv],
+                                    active=gi_children.active[inv],
+                                    bounce=gi_children.bounce[inv])
+                sel_g_valid = gi_children.active
+            else:
+                sel_g = perm[sel_g]
+
     rec = LevelRecord(
-        active=tasks.active,
-        hit=hit.hit,
-        z=surf.z,
+        active=active_rec,
+        hit=hit_rec,
+        z=z_rec,
         direct=direct,
         gi_albedo=gi_albedo,
         gi_env=gi_env,
@@ -891,7 +984,7 @@ def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y, pmap=N
             def shade(pk, ts, k, dx, dy, _level=level):
                 return _shade_level(pk, cfg, ts, _level, k, dx, dy, pmap=pmap)
 
-            rec, tasks, _ = jax.checkpoint(shade)(
+            rec, tasks, _ = jax.checkpoint(shade, policy=_remat_policy())(
                 pack, tasks, jax.random.fold_in(key, 100 + level), dd_x, dd_y
             )
         else:

@@ -337,6 +337,33 @@ def bvh_anyhit(pack, root, o, d, t_min: float, t_max):
 # ---------------------------------------------------------------------------
 
 
+def coherence_perm(pack, o, d, active):
+    """Once-per-level coherence permutation (cfg.level_presort): active
+    lanes first, grouped by (direction octant, coarse origin cell over the
+    mesh root box when there is one). Same key family as the per-trace
+    reorder sort (pallas_bvh._coherence_order) but computed ONCE per level
+    over the task wavefront, so every trace inside the level can run
+    reorder=False on the presorted lanes."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    oct_ = (
+        (d[:, 0] > 0).astype(jnp.int32)
+        + 2 * (d[:, 1] > 0).astype(jnp.int32)
+        + 4 * (d[:, 2] > 0).astype(jnp.int32)
+    )
+    if pack.n_msh:
+        bmin = jax.lax.stop_gradient(pack.bvh_bmin[0])
+        bmax = jax.lax.stop_gradient(pack.bvh_bmax[0])
+        ext = jnp.maximum(bmax - bmin, 1e-6)
+        cell = jnp.clip((o - bmin[None, :]) / ext[None, :] * 4.0, 0.0, 3.0)
+        cell = cell.astype(jnp.int32)
+        cell_id = cell[:, 0] + 4 * cell[:, 1] + 16 * cell[:, 2]
+    else:
+        cell_id = jnp.zeros_like(oct_)
+    key = jnp.where(active, oct_ * 64 + cell_id, 8 * 64)
+    return jnp.argsort(key, stable=True)
+
+
 def trace_closest(pack, o, d, hit_side: str = "front",
                   reorder: bool = True) -> Hit:
     """Closest hit over all instances. o, d: (N,3) world rays.
@@ -596,6 +623,24 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
 # ---------------------------------------------------------------------------
 # Differentiable hit resolution
 # ---------------------------------------------------------------------------
+
+
+def rows_from_pools(pack):
+    """Rebuild the packed (F,32) resolve-row table IN-JIT from the
+    verts/normals/uvs pools (the same packing scene/compile.py precomputes
+    host-side). Bit-identical values — gathering copies — but expressed as
+    F-sized differentiable gathers, so an AD path that swaps this into
+    pack.resolve_rows gets the fast one-row-gather resolve WITH vertex/
+    normal/uv gradients flowing through the row table back to the pools.
+    F-sized (per-face) work, traced once per program: negligible next to
+    the N-lane shading math."""
+    f = pack.face_v.shape[0]
+    vt3 = pack.verts[pack.face_v].reshape(f, 9)
+    nt3 = pack.normals[pack.face_vn].reshape(f, 9)
+    ut3 = pack.uvs[pack.face_vt].reshape(f, 9)
+    mtl = pack.face_mtl.astype(jnp.float32)[:, None]
+    pad = jnp.zeros((f, 4), jnp.float32)
+    return jnp.concatenate([vt3, nt3, ut3, mtl, pad], axis=1)
 
 
 def resolve_hit(pack, o, d, hit: Hit, dd_x, dd_y, minimal: bool = False,

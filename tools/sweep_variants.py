@@ -158,6 +158,16 @@ def main() -> None:
          lambda: T.set_gather_stub("inst"), lambda: T.set_gather_stub("")),
         ("stub_rowgather", None,
          lambda: T.set_gather_stub("rows"), lambda: T.set_gather_stub("")),
+        # Per-family reorder toggles (BIT-IDENTICAL images: order-only).
+        ("chain_noreorder", {"chain_reorder": False}, None, None),
+        ("shadow_noreorder", {"shadow_reorder": False}, None, None),
+        ("closest_noreorder", {"closest_reorder": False}, None, None),
+        ("all_noreorder",
+         {"chain_reorder": False, "shadow_reorder": False,
+          "closest_reorder": False}, None, None),
+        # One sort per level instead of one per trace (+ none per chain
+        # trip). Images identical up to glossy-refraction jitter.
+        ("level_presort", {"level_presort": True}, None, None),
         ("refr_cap_0.16", {"refr_capacity": 0.16}, None, None),
         ("refr_cap_1.0_lossless",
          {"refr_capacity": 1.0, "tir_tail_compaction": False,
