@@ -138,6 +138,10 @@ class RenderConfig:
     # slot-positional RNG pairing matches the non-presorted path exactly;
     # images differ only by XLA fusion-boundary rounding
     # (tests/test_level_presort.py pins stats/z equal, radiance ulp-close).
+    # MEASURED NEGATIVE on TPU (round 4, 480K fused): 836.8 vs 601.9
+    # ms/chunk — each trace family's own sort key (especially the shadow
+    # wavefront's) buys more traversal coherence than the consolidated sort
+    # saves in fabric. Kept as a documented negative result; leave False.
     level_presort: bool = False
 
     # Fuse the whole chunk (raygen + all shade levels + combine/finish) into

@@ -42,6 +42,21 @@ VMEM_BUDGET = 8 << 20  # physical bytes for node+face tables (single-shot)
 TREELET_BUDGET_ROWS = (4 << 20) // (LANES * 4)
 
 
+# Coherence-sort origin-cell resolution per axis. 4 (=4x4x4 cells) was
+# tuned on 65K-lane chunks (round-2 ledger: 8x8x8 "no better" there); at
+# 480K-lane whole-image chunks each (octant, cell) bucket holds ~7x more
+# lanes, so finer cells might have paid — MEASURED on TPU (round 4, 480K
+# fused, proj12_backfaceTest): baseline 599.9 ms/chunk, cells8 603.4,
+# cells16 601.5 — a wash. Direction octant dominates; keep 4.
+_CELL_RES = 4
+
+
+def set_cell_res(res: int) -> None:
+    global _CELL_RES
+    assert res in (2, 4, 8, 16)
+    _CELL_RES = res
+
+
 def fits_vmem(pack) -> bool:
     rows = pack.pallas_nodes.shape[0] + pack.pallas_faces.shape[0]
     return rows * LANES * 4 <= VMEM_BUDGET  # 16-wide rows pad to 128 lanes
@@ -329,12 +344,14 @@ def _coherence_order(pack, root, o, d, t_init):
         + 2 * (d[:, 1] > 0).astype(jnp.int32)
         + 4 * (d[:, 2] > 0).astype(jnp.int32)
     )
-    # Coarse 4x4x4 origin cell relative to the root box.
+    # Coarse origin cell relative to the root box (_CELL_RES per axis).
+    r = _CELL_RES
     ext = jnp.maximum(bmax - bmin, 1e-6)
-    cell = jnp.clip(((o - bmin[None, :]) / ext[None, :] * 4.0), 0.0, 3.0)
+    cell = jnp.clip(((o - bmin[None, :]) / ext[None, :] * r), 0.0, r - 1.0)
     cell = cell.astype(jnp.int32)
-    cell_id = cell[:, 0] + 4 * cell[:, 1] + 16 * cell[:, 2]
-    key = jnp.where(live, oct_ * 64 + cell_id, 8 * 64)
+    cell_id = cell[:, 0] + r * cell[:, 1] + r * r * cell[:, 2]
+    n_cells = r * r * r
+    key = jnp.where(live, oct_ * n_cells + cell_id, 8 * n_cells)
     return jnp.argsort(key, stable=True)
 
 

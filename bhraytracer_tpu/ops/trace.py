@@ -351,16 +351,18 @@ def coherence_perm(pack, o, d, active):
         + 2 * (d[:, 1] > 0).astype(jnp.int32)
         + 4 * (d[:, 2] > 0).astype(jnp.int32)
     )
+    from bhraytracer_tpu.ops.pallas_bvh import _CELL_RES as r
+
     if pack.n_msh:
         bmin = jax.lax.stop_gradient(pack.bvh_bmin[0])
         bmax = jax.lax.stop_gradient(pack.bvh_bmax[0])
         ext = jnp.maximum(bmax - bmin, 1e-6)
-        cell = jnp.clip((o - bmin[None, :]) / ext[None, :] * 4.0, 0.0, 3.0)
+        cell = jnp.clip((o - bmin[None, :]) / ext[None, :] * r, 0.0, r - 1.0)
         cell = cell.astype(jnp.int32)
-        cell_id = cell[:, 0] + 4 * cell[:, 1] + 16 * cell[:, 2]
+        cell_id = cell[:, 0] + r * cell[:, 1] + r * r * cell[:, 2]
     else:
         cell_id = jnp.zeros_like(oct_)
-    key = jnp.where(active, oct_ * 64 + cell_id, 8 * 64)
+    key = jnp.where(active, oct_ * (r * r * r) + cell_id, 8 * (r * r * r))
     return jnp.argsort(key, stable=True)
 
 

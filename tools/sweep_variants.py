@@ -166,8 +166,19 @@ def main() -> None:
          {"chain_reorder": False, "shadow_reorder": False,
           "closest_reorder": False}, None, None),
         # One sort per level instead of one per trace (+ none per chain
-        # trip). Images identical up to glossy-refraction jitter.
+        # trip). Images identical up to fusion-boundary rounding.
         ("level_presort", {"level_presort": True}, None, None),
+        # Finer coherence-sort origin cells (bit-identical: order-only).
+        ("cells8", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
+                            fromlist=["x"]).set_cell_res(8),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
+                            fromlist=["x"]).set_cell_res(4)),
+        ("cells16", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
+                            fromlist=["x"]).set_cell_res(16),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
+                            fromlist=["x"]).set_cell_res(4)),
         ("refr_cap_0.16", {"refr_capacity": 0.16}, None, None),
         ("refr_cap_1.0_lossless",
          {"refr_capacity": 1.0, "tir_tail_compaction": False,
