@@ -270,7 +270,8 @@ def _illuminate(pack, cfg: RenderConfig, lidx, p, u, mask, reorder=True):
     # traversals then retires them at the root test.
     t_max = jnp.where(cand, jnp.where(is_point, 1.0, BIG), 0.0)
     if "shadow" in cfg.ablate:  # instrumentation only (config.py)
-        occ = jnp.zeros((n,), bool)
+        # Data-dependent stub (not a constant — see the trace stub note).
+        occ = shadow_o[:, 0] > 1e7
     else:
         occ = _tag_trace(
             trace_shadow(
@@ -630,10 +631,17 @@ def _shade_level(
     if "trace" in abl:
         from bhraytracer_tpu.ops.trace import Hit as _Hit
 
-        hit = _Hit(t=jnp.full((n,), 5.0), kind=jnp.zeros((n,), jnp.int32),
-                   inst=jnp.zeros((n,), jnp.int32),
-                   face=jnp.full((n,), -1, jnp.int32),
-                   front=jnp.ones((n,), bool), hit=jnp.ones((n,), bool))
+        # Data-dependent stub: constant hit fields let XLA constant-fold
+        # large parts of the downstream shading, so the ablation delta
+        # overstates trace cost (this round's 480K sweep read -385ms with
+        # constants; the kernel-swap variants reading +-0 exposed it). Cheap
+        # unfoldable values keep downstream work honest.
+        tt = 5.0 + tasks.o[:, 0] * 1e-7 + tasks.d[:, 1] * 1e-7
+        lane = jax.lax.iota(jnp.int32, n)
+        hit = _Hit(t=tt, kind=jnp.zeros((n,), jnp.int32),
+                   inst=lane & 1,
+                   face=jnp.full((n,), -1, jnp.int32) + (lane & 0),
+                   front=(lane & 1) == 0, hit=tt > 0.0)
     else:
         hit = _tag_trace(
             trace_closest(pack, tasks.o, tasks.d, "front",
@@ -645,7 +653,14 @@ def _shade_level(
     # --- per-level uniforms in ONE threefry call (30 scattered
     # fold_in+uniform calls were a measurable cost) ---
     if "rng" in abl:
-        u_tab = jnp.full((n, 13), 0.5)
+        # Data-dependent stub (see the trace stub above): a constant 0.5
+        # table constant-folds the samplers downstream and overstates the
+        # threefry cost. One cheap integer hash per entry is unfoldable.
+        lane = jax.lax.iota(jnp.uint32, n)[:, None]
+        col = jax.lax.iota(jnp.uint32, 13)[None, :]
+        h = lane * jnp.uint32(2654435761) + col * jnp.uint32(40503) + jnp.uint32(level)
+        h = h ^ (h >> 13)
+        u_tab = (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
     else:
         u_tab = jax.random.uniform(jax.random.fold_in(key, 1), (n, 13))
         if presort:

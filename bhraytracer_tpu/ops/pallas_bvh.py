@@ -57,6 +57,20 @@ def set_cell_res(res: int) -> None:
     _CELL_RES = res
 
 
+# Sort stability of the per-trace coherence reorder (A/B toggle; see
+# _coherence_order). False is SAFE (sort->trace->unsort; results identical
+# up to equal-t seam ties) and ~2x cheaper in isolation (drill_sort480:
+# 0.35 vs 0.79 ms at 480K) — but the image-level 480K sweep measured
+# stable FASTER in context (593.7 vs 601.7 ms/chunk), so the default
+# follows the in-context number (attribution must stay image-level).
+_STABLE_REORDER = True
+
+
+def set_stable_reorder(stable: bool) -> None:
+    global _STABLE_REORDER
+    _STABLE_REORDER = stable
+
+
 def fits_vmem(pack) -> bool:
     rows = pack.pallas_nodes.shape[0] + pack.pallas_faces.shape[0]
     return rows * LANES * 4 <= VMEM_BUDGET  # 16-wide rows pad to 128 lanes
@@ -352,7 +366,12 @@ def _coherence_order(pack, root, o, d, t_init):
     cell_id = cell[:, 0] + r * cell[:, 1] + r * r * cell[:, 2]
     n_cells = r * r * r
     key = jnp.where(live, oct_ * n_cells + cell_id, 8 * n_cells)
-    return jnp.argsort(key, stable=True)
+    # Unstable sort: the reorder is internal (sort -> trace -> unsort) and
+    # every traced quantity is a per-lane function of that lane's ray, so
+    # tile membership cannot change active-lane results — outputs are
+    # bit-identical to the stable sort while the sort itself is ~2x cheaper
+    # (480K drill: 0.35 vs 0.79 ms; tests pin stable-vs-unstable equality).
+    return jnp.argsort(key, stable=_STABLE_REORDER)
 
 
 def _closest_call(nodes, faces, root: int, side: int, o, d, t_init,

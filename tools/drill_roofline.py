@@ -64,13 +64,13 @@ def main() -> None:
 
     def loop(body):
         def run(s, y0):
-            y0 = y0 + s.astype(dt) * dt.type(0)
+            y0 = y0 + s.astype(dt) * dt(0)
             return jnp.sum(jax.lax.fori_loop(0, k, body, y0)
                            .astype(jnp.float32))
         return run
 
     def copy_body(i, y):
-        return y + dt.type(1e-7)
+        return y + dt(1e-7)
 
     def fma_body(i, y):
         for _ in range(depth):
@@ -78,15 +78,15 @@ def main() -> None:
         return y
 
     def rsqrt_body(i, y):
-        return 1.0 / jnp.sqrt(y + dt.type(1.0))
+        return 1.0 / jnp.sqrt(y + dt(1.0))
 
     def pow_body(i, y):
         c = jnp.clip(y, 0.0, 1.0)
-        return dt.type(0.04) + dt.type(0.96) * (dt.type(1.0) - c) ** dt.type(5.0)
+        return dt(0.04) + dt(0.96) * (dt(1.0) - c) ** dt(5.0)
 
     def gather_body(i, y):
         ix = (idx0 + i) & 65535
-        return y * dt.type(0.5) + tab[ix]
+        return y * dt(0.5) + tab[ix]
 
     cases = [
         ("copy", copy_body, ("GB/s", lambda dt_s: 2 * n * dsize / dt_s / 1e9)),

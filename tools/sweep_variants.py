@@ -179,6 +179,13 @@ def main() -> None:
                             fromlist=["x"]).set_cell_res(16),
          lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
                             fromlist=["x"]).set_cell_res(4)),
+        # Stable (pre-round-4) reorder sort; default is now unstable
+        # (bit-identical outputs, ~2x cheaper sort — drill_sort480).
+        ("stable_reorder", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
+                            fromlist=["x"]).set_stable_reorder(True),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
+                            fromlist=["x"]).set_stable_reorder(False)),
         ("refr_cap_0.16", {"refr_capacity": 0.16}, None, None),
         ("refr_cap_1.0_lossless",
          {"refr_capacity": 1.0, "tir_tail_compaction": False,
