@@ -58,11 +58,16 @@ _PALLAS_MODE = "auto"
 #     no sort, coherence-independent; wins when the tile union saturates
 #     the tree (small meshes, scattered rays);
 #   - "divergent": per-row SMEM-stack descent (ops/pallas_bvh_divergent).
-# Both OFF by default until measured faster on hardware
-# (tools/bench_incoherent.py compares every kernel). Stream wins the tie
-# when both are on and the scene passes both gates.
+# Round-4 TPU measurements (floor-free drill + image-level sweep with the
+# jit-cache fix in tools/sweep_variants.py — earlier "no difference"
+# readings silently re-measured the baseline program): per incoherent
+# 590K-lane trace, stream 22.0ms vs packet 76.7 vs divergent 78.6 vs XLA
+# while_loop 6642; headline 480K image chunk 412.3 ms/chunk with stream vs
+# 600.8 packet-only, 652.9 divergent. Stream is ON by default (gated to
+# <= STREAM_MAX_FACES scenes and reorder=True queries); divergent stays
+# off — a kept negative result.
 _DIVERGENT_MODE = "off"
-_STREAM_MODE = "off"
+_STREAM_MODE = "on"
 
 
 def set_pallas_mode(mode: str) -> None:

@@ -111,11 +111,21 @@ def main() -> None:
         cfg = RenderConfig(**{**base, **(cfg_overrides or {})})
         if setup:
             setup()
+            # Module-level kernel switches are read at TRACE time, but the
+            # jitted chunk entry points cache on (cfg, shapes) only — without
+            # this, every setup-lambda variant silently reuses the baseline's
+            # compiled program and measures NOTHING (round-4 discovery: this
+            # artifact produced the "kernel swaps change nothing" readings in
+            # rounds 3-4; the stream kernel is actually 3.5x faster per trace
+            # in isolation). Re-tracing hits the persistent .jax_cache for
+            # previously-compiled HLO, so repeat sweeps stay fast.
+            jax.clear_caches()
         try:
             rate, per_chunk, drops = measure(cfg, args.passes)
         finally:
             if teardown:
                 teardown()
+                jax.clear_caches()
         print(f"{name:32s} {rate/1e6:7.2f}M segs/s  {per_chunk*1e3:7.1f} "
               f"ms/chunk  drops/chunk {drops:.0f}", flush=True)
 
