@@ -134,8 +134,82 @@ def _slab_test(slab, pox, poy, poz, pdx, pdy, pdz, inv_dlen, side: int):
     return t, front.astype(jnp.int32), ok
 
 
-def _closest_kernel(side: int, n_slabs: int,
-                    faces, ox, oy, oz, dx, dy, dz, tinit,
+def _local_ray(ref, k, pox, poy, poz, pdx, pdy, pdz):
+    """Instance-local ray via row k's [itm (9), pos (3)] (pallas_trace
+    layout); shape-agnostic (works on the (1,RLANES) stream rows)."""
+    m = [ref[k, j] for j in range(9)]
+    sx, sy, sz = pox - ref[k, 9], poy - ref[k, 10], poz - ref[k, 11]
+    return (
+        m[0] * sx + m[1] * sy + m[2] * sz,
+        m[3] * sx + m[4] * sy + m[5] * sz,
+        m[6] * sx + m[7] * sy + m[8] * sz,
+        m[0] * pdx + m[1] * pdy + m[2] * pdz,
+        m[3] * pdx + m[4] * pdy + m[5] * pdz,
+        m[6] * pdx + m[7] * pdy + m[8] * pdz,
+    )
+
+
+def _analytic_closest(side, n_sph, n_pln, sph_ref, pln_ref,
+                      pox, poy, poz, pdx, pdy, pdz, t0):
+    """Sphere/plane closest tests on one ray row — formulas and face coding
+    identical to the packet kernel's fold (pallas_bvh._closest_kernel):
+    winner face = -(2 + inst*4 + kind*2 + front)."""
+    bt = t0
+    bface = jnp.full(pox.shape, -1, jnp.int32)
+    bfront = jnp.zeros(pox.shape, jnp.int32)
+    for k in range(n_sph):
+        lox, loy, loz, ldx, ldy, ldz = _local_ray(
+            sph_ref, k, pox, poy, poz, pdx, pdy, pdz)
+        a = ldx * ldx + ldy * ldy + ldz * ldz
+        b = 2.0 * (ldx * lox + ldy * loy + ldz * loz)
+        c = lox * lox + loy * loy + loz * loz - 1.0
+        disc = b * b - 4.0 * a * c
+        ok = disc > 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv2a = 1.0 / jnp.maximum(2.0 * a, 1e-30)
+        t1 = (-b + sq) * inv2a
+        t2 = (-b - sq) * inv2a
+        both_pos = t2 > 0.0
+        inside = t1 * t2 <= 0.0
+        if side == 0:  # front
+            t = jnp.where(both_pos, t2, BIG)
+            front = jnp.ones_like(ok)
+        elif side == 1:  # back
+            t = jnp.where(both_pos, t1, jnp.where(inside, t1, BIG))
+            front = jnp.zeros_like(ok)
+        else:  # both
+            t = jnp.where(both_pos, t2, jnp.where(inside, t1, BIG))
+            front = both_pos
+        t = jnp.where(ok & (t > 0.0), t, BIG)
+        upd = t < bt
+        bt = jnp.where(upd, t, bt)
+        bface = jnp.where(upd, -(2 + k * 4 + front.astype(jnp.int32)), bface)
+        bfront = jnp.where(upd, front.astype(jnp.int32), bfront)
+    for k in range(n_pln):
+        lox, loy, loz, ldx, ldy, ldz = _local_ray(
+            pln_ref, k, pox, poy, poz, pdx, pdy, pdz)
+        t = -loz / jnp.where(ldz == 0.0, 1e-30, ldz)
+        x = lox + t * ldx
+        y = loy + t * ldy
+        in_ext = (jnp.abs(x) <= 1.0) & (jnp.abs(y) <= 1.0)
+        front = ldz < 0.0
+        ok = (ldz != 0.0) & (t > 0.0) & in_ext
+        if side == 0:
+            ok &= front
+        elif side == 1:
+            ok &= ~front
+        t = jnp.where(ok, t, BIG)
+        upd = t < bt
+        bt = jnp.where(upd, t, bt)
+        bface = jnp.where(upd, -(2 + k * 4 + 2 + front.astype(jnp.int32)),
+                          bface)
+        bfront = jnp.where(upd, front.astype(jnp.int32), bfront)
+    return bt, bface, bfront
+
+
+def _closest_kernel(side: int, n_slabs: int, n_sph: int, n_pln: int,
+                    faces, sph_ref, pln_ref,
+                    ox, oy, oz, dx, dy, dz, tinit,
                     t_out, face_out, front_out):
     pox, poy, poz = ox[0], oy[0], oz[0]
     pdx, pdy, pdz = dx[0], dy[0], dz[0]
@@ -143,35 +217,84 @@ def _closest_kernel(side: int, n_slabs: int,
         jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
     siota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
 
+    # Analytic instances first (packet-fold face coding); their best-t
+    # seeds the final merge (no per-face pruning exists in a brute-force
+    # stream — every face is tested regardless).
+    t0 = tinit[0]
+    ana_t, ana_face, ana_front = _analytic_closest(
+        side, n_sph, n_pln, sph_ref, pln_ref,
+        pox, poy, poz, pdx, pdy, pdz, t0)
+
+    # Deferred best reduction: keep a per-sublane-slot running best
+    # (SLAB,RLANES) across the whole loop and reduce ONCE at the end —
+    # ~6 fewer vector ops per slab than reducing in-loop. Tie order among
+    # EXACTLY equal t across slots differs from the in-loop reduction only
+    # within the documented equal-t seam family (the final min-key rule
+    # still picks the lowest face id among tied slots).
+    t8_0 = jnp.broadcast_to(t0, (SLAB,) + t0.shape[1:]).astype(jnp.float32)
+    k8_0 = jnp.full(t8_0.shape, _BIGI, jnp.int32)
+
     def body(s, carry):
-        t_best, bkey = carry
+        t8, k8 = carry
         slab = faces[pl.ds(s * SLAB, SLAB), :]
         t, front, ok = _slab_test(slab, pox, poy, poz, pdx, pdy, pdz,
                                   inv_dlen, side)
         tc = jnp.where(ok, t, BIG)
-        tmin = jnp.min(tc, axis=0, keepdims=True)  # (1,RLANES)
         key = (s * SLAB + siota) * 2 + front  # face id * 2 + front
-        kmin = jnp.min(jnp.where(tc == tmin, key, _BIGI), axis=0,
-                       keepdims=True)
-        upd = tmin < t_best
-        return (jnp.where(upd, tmin, t_best), jnp.where(upd, kmin, bkey))
+        upd = tc < t8
+        return jnp.where(upd, tc, t8), jnp.where(upd, key, k8)
 
-    t0 = tinit[0]
-    k0 = jnp.full(t0.shape, -2, jnp.int32)  # decodes to face=-1, front=0
-    t_best, bkey = jax.lax.fori_loop(0, n_slabs, body, (t0, k0))
-    t_out[0] = t_best
-    face_out[0] = jnp.where(bkey >= 0, bkey >> 1, -1)
-    front_out[0] = jnp.where(bkey >= 0, bkey & 1, 0)
+    t8, k8 = jax.lax.fori_loop(0, n_slabs, body, (t8_0, k8_0))
+    t_best = jnp.min(t8, axis=0, keepdims=True)
+    bkey = jnp.min(jnp.where((t8 == t_best) & (k8 < _BIGI), k8, _BIGI),
+                   axis=0, keepdims=True)
+    mesh_hit = bkey < _BIGI
+    # Merge with the analytic winner: strict < keeps the packet fold's
+    # tie rule (mesh updates only when strictly closer than analytic).
+    mesh_wins = mesh_hit & (t_best < ana_t)
+    t_out[0] = jnp.where(mesh_wins, t_best, ana_t)
+    face_out[0] = jnp.where(mesh_wins, bkey >> 1, ana_face)
+    front_out[0] = jnp.where(mesh_wins, bkey & 1, ana_front)
 
 
-def _anyhit_kernel(n_slabs: int, bias: float,
-                   faces, ox, oy, oz, dx, dy, dz, tmax,
+def _anyhit_kernel(n_slabs: int, bias: float, n_sph: int, n_pln: int,
+                   ana_bias: float, plane_world_bug: bool,
+                   faces, sph_ref, pln_ref,
+                   ox, oy, oz, dx, dy, dz, tmax,
                    occ_out):
     pox, poy, poz = ox[0], oy[0], oz[0]
     pdx, pdy, pdz = dx[0], dy[0], dz[0]
     tm = tmax[0]
     inv_dlen = jax.lax.rsqrt(
         jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
+
+    # Analytic occlusion first (ShadowRayRecursive's sphere/plane math;
+    # formulas identical to the packet anyhit fold).
+    occ0 = jnp.zeros(tm.shape, jnp.int32)
+    for k in range(n_sph):
+        lox, loy, loz, ldx, ldy, ldz = _local_ray(
+            sph_ref, k, pox, poy, poz, pdx, pdy, pdz)
+        a = ldx * ldx + ldy * ldy + ldz * ldz
+        b = 2.0 * (ldx * lox + ldy * loy + ldz * loz)
+        c = lox * lox + loy * loy + loz * loz - 1.0
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        tmin = (-b - sq) / jnp.maximum(2.0 * a, 1e-30)
+        hit = (disc > 0.0) & (tmin > ana_bias) & (tmin < tm)
+        occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
+    for k in range(n_pln):
+        lox, loy, loz, ldx, ldy, ldz = _local_ray(
+            pln_ref, k, pox, poy, poz, pdx, pdy, pdz)
+        t = -loz / jnp.where(ldz == 0.0, 1e-30, ldz)
+        if plane_world_bug:
+            x = pox + t * pdx
+            y = poy + t * pdy
+        else:
+            x = lox + t * ldx
+            y = loy + t * ldy
+        in_ext = (jnp.abs(x) <= 1.0) & (jnp.abs(y) <= 1.0)
+        hit = (ldz != 0.0) & (t >= 0.0) & in_ext & (t > ana_bias) & (t < tm)
+        occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
 
     def body(s, occ):
         slab = faces[pl.ds(s * SLAB, SLAB), :]
@@ -181,15 +304,17 @@ def _anyhit_kernel(n_slabs: int, bias: float,
         return jnp.maximum(occ, jnp.max(hit.astype(jnp.int32), axis=0,
                                         keepdims=True))
 
-    occ = jax.lax.fori_loop(0, n_slabs, body,
-                            jnp.zeros(tm.shape, jnp.int32))
+    occ = jax.lax.fori_loop(0, n_slabs, body, occ0)
     occ_out[0] = occ
 
 
-def stream_closest(pack, o, d, hit_side: str, t_init=None):
-    """Streaming closest hit; same contract as bvh_closest_pallas without
-    the analytic fold (t_init seeds pruning of the final compare only —
-    every face is tested regardless, that is the point)."""
+def stream_closest(pack, o, d, hit_side: str, t_init=None,
+                   sph_tab=None, pln_tab=None):
+    """Streaming closest hit; same contract as bvh_closest_pallas. With
+    sph_tab/pln_tab the analytic instances are folded into the SAME kernel
+    (one launch + one padding layout + no XLA combine per trace) using the
+    packet fold's face coding. t_init seeds the final compare only — every
+    face is tested regardless, that is the point."""
     if t_init is None:
         t_init = jnp.full((o.shape[0],), BIG)
     comps, n = _pad_blocks(o, d)
@@ -203,14 +328,18 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None):
     ).reshape(g, 1, RLANES)
     faces = _stream_table(pack)
     n_slabs = faces.shape[0] // SLAB
-    kernel = functools.partial(_closest_kernel, side, n_slabs)
+    n_sph = int(sph_tab.shape[0]) if sph_tab is not None else 0
+    n_pln = int(pln_tab.shape[0]) if pln_tab is not None else 0
+    sph_tab = sph_tab if n_sph else jnp.zeros((1, 12), jnp.float32)
+    pln_tab = pln_tab if n_pln else jnp.zeros((1, 12), jnp.float32)
+    kernel = functools.partial(_closest_kernel, side, n_slabs, n_sph, n_pln)
     ray_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     t, face, front = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[arr] + [ray_spec] * 7,
+        in_specs=[arr, arr, arr] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((g, 1, RLANES), jnp.float32),
@@ -218,7 +347,7 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None):
             jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(faces, *comps, ti)
+    )(faces, sph_tab, pln_tab, *comps, ti)
     return (
         t.reshape(-1)[:n],
         face.reshape(-1)[:n],
@@ -226,8 +355,13 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None):
     )
 
 
-def stream_anyhit(pack, o, d, t_min: float, t_max):
-    """Streaming any-hit (front-only mesh shadows, TriObj.cpp:272-307)."""
+def stream_anyhit(pack, o, d, t_min: float, t_max,
+                  sph_tab=None, pln_tab=None, ana_bias: float = 0.0,
+                  plane_world_bug: bool = False):
+    """Streaming any-hit (front-only mesh shadows, TriObj.cpp:272-307).
+    With sph_tab/pln_tab the analytic occluders fold into the kernel
+    (ShadowRayRecursive semantics: ana_bias/t_max bounds, optional
+    plane_world_bug frame mix-up)."""
     comps, n = _pad_blocks(o, d)
     g = comps[0].shape[0]
     tmax_full = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
@@ -238,16 +372,21 @@ def stream_anyhit(pack, o, d, t_min: float, t_max):
     ).reshape(g, 1, RLANES)
     faces = _stream_table(pack)
     n_slabs = faces.shape[0] // SLAB
-    kernel = functools.partial(_anyhit_kernel, n_slabs, t_min)
+    n_sph = int(sph_tab.shape[0]) if sph_tab is not None else 0
+    n_pln = int(pln_tab.shape[0]) if pln_tab is not None else 0
+    sph_tab = sph_tab if n_sph else jnp.zeros((1, 12), jnp.float32)
+    pln_tab = pln_tab if n_pln else jnp.zeros((1, 12), jnp.float32)
+    kernel = functools.partial(_anyhit_kernel, n_slabs, t_min, n_sph, n_pln,
+                               ana_bias, plane_world_bug)
     ray_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[arr] + [ray_spec] * 7,
+        in_specs=[arr, arr, arr] + [ray_spec] * 7,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
         interpret=jax.default_backend() != "tpu",
-    )(faces, *comps, tmax_p)
+    )(faces, sph_tab, pln_tab, *comps, tmax_p)
     return occ.reshape(-1)[:n].astype(bool)

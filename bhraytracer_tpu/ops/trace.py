@@ -406,8 +406,11 @@ def trace_closest(pack, o, d, hit_side: str = "front",
         use_stream = use_pallas_bvh and _stream_enabled(pack, reorder)
         use_divergent = (use_pallas_bvh and not use_stream
                          and _divergent_enabled(pack, reorder))
+        # Both the packet and the stream kernels fold the analytic
+        # instances in-kernel (one launch, one padding layout, no XLA
+        # combine per trace).
         fold_analytic = (use_pallas_bvh and not use_divergent
-                         and not use_stream and not pack.treelets
+                         and not pack.treelets
                          and bool(pack.n_sph or pack.n_pln))
 
     if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
@@ -461,9 +464,18 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                            if pack.n_sph else None)
                 pln_tab = (instance_table(pack.pln_itm, pack.pln_pos)
                            if pack.n_pln else None)
-                t, face, front = bvh_closest_pallas(
-                    pack, 0, o, d, hit_side, t_init=best_t,
-                    reorder=reorder, sph_tab=sph_tab, pln_tab=pln_tab)
+                if use_stream:
+                    from bhraytracer_tpu.ops.pallas_stream import (
+                        stream_closest,
+                    )
+
+                    t, face, front = stream_closest(
+                        pack, o, d, hit_side, t_init=best_t,
+                        sph_tab=sph_tab, pln_tab=pln_tab)
+                else:
+                    t, face, front = bvh_closest_pallas(
+                        pack, 0, o, d, hit_side, t_init=best_t,
+                        reorder=reorder, sph_tab=sph_tab, pln_tab=pln_tab)
                 # Decode the analytic face coding (see bvh_closest_pallas).
                 ana = face <= -2
                 code = (-face) - 2
@@ -547,8 +559,9 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
         use_stream = use_pallas_bvh and _stream_enabled(pack, reorder)
         use_divergent = (use_pallas_bvh and not use_stream
                          and _divergent_enabled(pack, reorder))
+        # Packet AND stream anyhit kernels fold the analytic occluders.
         fold_analytic = (use_pallas_bvh and not use_divergent
-                         and not use_stream and not pack.treelets
+                         and not pack.treelets
                          and bool(pack.n_sph or pack.n_pln))
 
     if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
@@ -599,6 +612,16 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
                            if pack.n_sph else None)
                 pln_tab = (instance_table(pack.pln_itm, pack.pln_pos)
                            if pack.n_pln else None)
+                if use_stream:
+                    from bhraytracer_tpu.ops.pallas_stream import (
+                        stream_anyhit,
+                    )
+
+                    return occ | stream_anyhit(
+                        pack, o, d, MESH_SHADOW_BIAS, t_max,
+                        sph_tab=sph_tab, pln_tab=pln_tab,
+                        ana_bias=shadow_bias,
+                        plane_world_bug=plane_extent_bug)
                 return occ | bvh_anyhit_pallas(
                     pack, 0, o, d, MESH_SHADOW_BIAS, t_max, reorder=reorder,
                     sph_tab=sph_tab, pln_tab=pln_tab,

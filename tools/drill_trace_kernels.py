@@ -122,6 +122,9 @@ def main() -> None:
     measure("closest/packet_nosort", closest_loop, reorder=False)
     measure("shadow/packet", shadow_loop)
     measure("shadow/packet_nosort", shadow_loop, reorder=False)
+    T.set_stream_mode("on")
+    measure("shadow/stream", shadow_loop)
+    T.set_stream_mode("off")
 
 
 if __name__ == "__main__":
