@@ -364,9 +364,12 @@ def _proj11_walltime(spp: int = 16):
         pack, cam = load_scene(scene, resource_root=os.path.join(repo, "assets"))
     cam.width, cam.height = 800, 600
     # proj11 predates the path-tracing projects: Blinn + shadows, no GI.
+    # Whole-image fused chunks: one program per spp pass (the 65K staged
+    # config paid ~5 programs x 8 chunks x 16 passes of ~25ms dispatch
+    # floor each — orchestration, not rendering).
     cfg = RenderConfig(spp=spp, gi_bounces=0, extra_refr_levels=0,
-                       tir_bounces=16, chunk_rays=65536,
-                       texture_sample_count=1)
+                       tir_bounces=16, chunk_rays=480000,
+                       texture_sample_count=1, fused_levels=True)
     img = render_image(pack, cam, cfg, seed=0)  # warmup: compiles all stages
     t0 = time.perf_counter()
     img = render_image(pack, cam, cfg, seed=1)

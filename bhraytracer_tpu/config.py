@@ -87,11 +87,21 @@ class RenderConfig:
     # toy and a 256x256+ inverse render. Forward-only jits are unaffected.
     remat_levels: bool = True
 
-    # Two-stage TIR chain: after 3 full-width trips, recompact stragglers to
-    # quarter width. Stragglers beyond that tail contribute black — counted
-    # in LevelRecord.drop_tir; set False for a guaranteed-lossless chain
-    # (used by render_image's adaptive re-render of flagged chunks).
+    # Two-stage TIR chain: after tir_head_trips full-width trips, recompact
+    # stragglers to 1/tir_tail_divisor width. Stragglers beyond that tail
+    # contribute black — counted in LevelRecord.drop_tir; set
+    # tir_tail_compaction=False for a guaranteed-lossless chain (used by
+    # render_image's adaptive re-render of flagged chunks). Brute-force
+    # stream traces cost ~width x F per trip regardless of live-lane count,
+    # so trip widths — not live lanes — set the chain's price.
+    # Round-4 480K TPU sweep (drops/chunk in parens): head3/div4 388.6
+    # (11200), head1/div4 371.4 (11200), head1/div8 348.5 (11200 — zero
+    # added), head1/div16 339.3 (12606 — real losses), head3/div16 357.4.
+    # Most chain lanes settle on trip 1 (exit or early TIR), so one
+    # full-width trip + a 1/8-width tail is the best zero-drop point.
     tir_tail_compaction: bool = True
+    tir_head_trips: int = 1
+    tir_tail_divisor: int = 8
     # Re-render any chunk whose drop counters are nonzero with full
     # refraction capacity + lossless TIR chain (one extra compile set, paid
     # only when a loss is detected).

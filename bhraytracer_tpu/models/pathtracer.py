@@ -538,14 +538,14 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff,
     # width so late iterations don't pay full-width traces. Stragglers
     # beyond the tail capacity contribute black (same bias family as the
     # refraction-child capacity; the reference's recursion has no cap).
-    head = min(3, cfg.tir_bounces + 1)
+    head = min(cfg.tir_head_trips, cfg.tir_bounces + 1)
 
     def cond_head(s):
         return jnp.any(~s["settled"]) & (s["it"] < head)
 
     state = jax.lax.while_loop(cond_head, body, state)
 
-    k2 = max(128, -(-n // 4) // 128 * 128)
+    k2 = max(128, -(-n // cfg.tir_tail_divisor) // 128 * 128)
     if cfg.tir_tail_compaction and k2 < n:
         unsettled = ~state["settled"]
         sel = partition_indices(unsettled, k2)  # unsettled first

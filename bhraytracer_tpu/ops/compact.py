@@ -21,14 +21,17 @@ import jax.numpy as jnp
 # Stable-partition implementation: "scan" = cumsum + one N-sized scatter;
 # "topk" = lax.top_k over a rank score (no scatter; XLA:TPU's TopK custom
 # call vs its serialized per-element scatter). Both produce bit-identical
-# index lists; the switch exists so tools/sweep_variants.py can A/B the
-# cost at image level.
-_PARTITION_METHOD = "scan"
+# index lists. "auto" (default) picks topk at wavefront widths and scan
+# below: the round-4 honest 480K sweep (after the jit-cache fix — the r3
+# "topk slower" reading was the cache artifact re-measuring baseline)
+# has topk 9.3 ms/chunk faster at 480K.
+_PARTITION_METHOD = "auto"
+_TOPK_MIN_N = 1 << 17
 
 
 def set_partition_method(method: str) -> None:
     global _PARTITION_METHOD
-    assert method in ("scan", "topk")
+    assert method in ("scan", "topk", "auto")
     _PARTITION_METHOD = method
 
 
@@ -41,7 +44,10 @@ def partition_indices(mask: jnp.ndarray, k: int | None = None) -> jnp.ndarray:
     """
     n = mask.shape[0]
     k = n if k is None else k
-    if _PARTITION_METHOD == "topk":
+    method = _PARTITION_METHOD
+    if method == "auto":
+        method = "topk" if n >= _TOPK_MIN_N else "scan"
+    if method == "topk":
         # Rank score: True lanes in [n+1, 2n] descending in i, False lanes
         # in [1, n] descending in i -> top_k (descending, stable) yields
         # True lanes in ascending-i order, then False lanes ascending.

@@ -162,7 +162,12 @@ def main() -> None:
          lambda: __import__("bhraytracer_tpu.ops.compact",
                             fromlist=["x"]).set_partition_method("topk"),
          lambda: __import__("bhraytracer_tpu.ops.compact",
-                            fromlist=["x"]).set_partition_method("scan")),
+                            fromlist=["x"]).set_partition_method("auto")),
+        ("partition_scan", None,
+         lambda: __import__("bhraytracer_tpu.ops.compact",
+                            fromlist=["x"]).set_partition_method("scan"),
+         lambda: __import__("bhraytracer_tpu.ops.compact",
+                            fromlist=["x"]).set_partition_method("auto")),
         # Serialized-gather attribution (set_gather_stub; wrong images).
         ("stub_instgather", None,
          lambda: T.set_gather_stub("inst"), lambda: T.set_gather_stub("")),
@@ -196,6 +201,15 @@ def main() -> None:
                             fromlist=["x"]).set_stable_reorder(True),
          lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
                             fromlist=["x"]).set_stable_reorder(False)),
+        # Chain trip-width structure (drop counters say what it costs).
+        ("tir_head1", {"tir_head_trips": 1}, None, None),
+        ("tir_head1_div16", {"tir_head_trips": 1, "tir_tail_divisor": 16},
+         None, None),
+        ("tir_div16", {"tir_tail_divisor": 16}, None, None),
+        ("tir_head1_div8", {"tir_head_trips": 1, "tir_tail_divisor": 8},
+         None, None),
+        ("tir_head2_div16", {"tir_head_trips": 2, "tir_tail_divisor": 16},
+         None, None),
         ("refr_cap_0.16", {"refr_capacity": 0.16}, None, None),
         ("refr_cap_1.0_lossless",
          {"refr_capacity": 1.0, "tir_tail_compaction": False,
