@@ -50,8 +50,27 @@ from jax.experimental.pallas import tpu as pltpu
 from bhraytracer_tpu.ops.intersect import PERP_EPS
 from bhraytracer_tpu.ops.linalg import BIG
 
-RLANES = 1024  # rays per block (one (1,1024) row = 8 physical vregs)
-SLAB = 8  # faces tested per vector op (sublane dim)
+# Round-4 480K TPU sweep (ms/chunk): (1024,8) 348.5, (2048,8) 311.1,
+# (1024,16) 300.1, (2048,16) 299.2 — bigger rows amortize the per-row
+# analytic fold/loop setup and bigger slabs halve loop iterations; both
+# matter far more than the op-count model predicted (Mosaic pipelines the
+# longer static bodies better).
+RLANES = 2048  # rays per block
+SLAB = 16  # faces tested per slab fetch (sublane dim)
+
+
+def set_stream_shape(rlanes: int | None = None, slab: int | None = None):
+    """A/B knob (tools/sweep_variants.py; requires jax.clear_caches to
+    re-trace): rays per grid row / faces per slab fetch. Bigger rows
+    amortize the per-row analytic fold + loop setup; bigger slabs halve
+    fori_loop iterations at the cost of register pressure."""
+    global RLANES, SLAB
+    if rlanes is not None:
+        assert rlanes % 1024 == 0
+        RLANES = rlanes
+    if slab is not None:
+        assert slab in (8, 16, 32)
+        SLAB = slab
 # Above this face count the O(F) stream loses to the packet kernel's
 # culling even on incoherent rays (the union stops saturating the tree).
 STREAM_MAX_FACES = 8192

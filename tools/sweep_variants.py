@@ -201,6 +201,32 @@ def main() -> None:
                             fromlist=["x"]).set_stable_reorder(True),
          lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
                             fromlist=["x"]).set_stable_reorder(False)),
+        # Stream kernel shape knobs (bit-identical results; order-only).
+        ("stream_r2048", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(2048, 8),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(1024, 8)),
+        ("stream_s16", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(1024, 16),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(1024, 8)),
+        ("stream_r2048_s16", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(2048, 16),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(2048, 16)),
+        ("stream_s32", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(2048, 32),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(2048, 16)),
+        ("stream_r4096", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(4096, 16),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(2048, 16)),
         # Chain trip-width structure (drop counters say what it costs).
         ("tir_head1", {"tir_head_trips": 1}, None, None),
         ("tir_head1_div16", {"tir_head_trips": 1, "tir_tail_divisor": 16},
