@@ -110,6 +110,44 @@ def _stream_table(pack):
     return rows
 
 
+# Slabs per cull cluster: clusters of CL_SLABS*SLAB consecutive faces
+# (pallas_faces is in BVH leaf order, so consecutive runs are spatially
+# tight — measured mean extent 15-28% of the scene per axis at 64 faces).
+# MEASURED NEGATIVE on TPU (round 4, 480K fused, trace.set_stream_cull):
+# 526.8 vs 297.3 ms/chunk. The conservative interval test is cheap and
+# the cull is bit-identical (tests/test_stream_cull.py), but putting the
+# slab loop inside a data-dependent pl.when per cluster destroys the
+# software pipelining that the static loop enjoys — the same effect that
+# made (2048,16) shapes 17% faster than (1024,8). Kept off by default as
+# a documented negative; a future treelet-stream for >STREAM_MAX_FACES
+# scenes should prefetch/pipeline explicitly instead.
+CL_SLABS = 4
+
+
+def _cluster_table(pack, n_slabs: int):
+    """(C, 8) f32 cluster AABBs [bmin(3), bmax(3), pad(2)] over groups of
+    CL_SLABS*SLAB consecutive faces of the (padded) stream table order.
+    Padding faces are excluded from the boxes (an empty tail cluster gets
+    an inverted box that can never pass the interval test)."""
+    f = pack.pallas_faces
+    v = f[:, 0:9].reshape(-1, 3, 3)
+    n_faces = v.shape[0]
+    per = CL_SLABS * SLAB
+    n_clusters = -(-n_slabs // CL_SLABS)
+    pad_to = n_clusters * per
+    big = jnp.float32(BIG)
+    vmin = jnp.min(v, axis=1)
+    vmax = jnp.max(v, axis=1)
+    if pad_to > n_faces:
+        pad = pad_to - n_faces
+        vmin = jnp.concatenate([vmin, jnp.full((pad, 3), big)])
+        vmax = jnp.concatenate([vmax, jnp.full((pad, 3), -big)])
+    bmin = jnp.min(vmin.reshape(n_clusters, per, 3), axis=1)
+    bmax = jnp.max(vmax.reshape(n_clusters, per, 3), axis=1)
+    return jnp.concatenate(
+        [bmin, bmax, jnp.zeros((n_clusters, 2), jnp.float32)], axis=1)
+
+
 def _pad_blocks(o, d):
     n = o.shape[0]
     g = -(-n // RLANES)
@@ -226,10 +264,48 @@ def _analytic_closest(side, n_sph, n_pln, sph_ref, pln_ref,
     return bt, bface, bfront
 
 
-def _closest_kernel(side: int, n_slabs: int, n_sph: int, n_pln: int,
-                    faces, sph_ref, pln_ref,
+def _cluster_window(clusters, c, lo, hi, dlo, dhi):
+    """Conservative scalar [t_lo, t_hi] over every ray in the row for
+    crossing cluster c's AABB: interval-arithmetic slab test on the row's
+    origin box `lo/hi` and direction box `dlo/dhi` (3 scalars each). An
+    axis whose direction interval spans 0 contributes (-BIG, BIG)."""
+    row = clusters[pl.ds(c, 1), :]
+    t_lo = jnp.float32(-BIG)
+    t_hi = jnp.float32(BIG)
+    for ax in range(3):
+        blo, bhi = row[0, ax], row[0, 3 + ax]
+        dl, dh = dlo[ax], dhi[ax]
+        mixed = (dl <= 0.0) & (dh >= 0.0)
+        rl = 1.0 / jnp.where(dl == 0.0, 1e-30, dl)
+        rh = 1.0 / jnp.where(dh == 0.0, 1e-30, dh)
+        a1, a2 = blo - lo[ax], blo - hi[ax]
+        b1, b2 = bhi - lo[ax], bhi - hi[ax]
+        qs = (a1 * rl, a1 * rh, a2 * rl, a2 * rh,
+              b1 * rl, b1 * rh, b2 * rl, b2 * rh)
+        q_lo = qs[0]
+        q_hi = qs[0]
+        for q in qs[1:]:
+            q_lo = jnp.minimum(q_lo, q)
+            q_hi = jnp.maximum(q_hi, q)
+        t_lo = jnp.maximum(t_lo, jnp.where(mixed, -BIG, q_lo))
+        t_hi = jnp.minimum(t_hi, jnp.where(mixed, BIG, q_hi))
+    return t_lo, t_hi
+
+
+def _row_boxes(pox, poy, poz, pdx, pdy, pdz):
+    lo = (jnp.min(pox), jnp.min(poy), jnp.min(poz))
+    hi = (jnp.max(pox), jnp.max(poy), jnp.max(poz))
+    dlo = (jnp.min(pdx), jnp.min(pdy), jnp.min(pdz))
+    dhi = (jnp.max(pdx), jnp.max(pdy), jnp.max(pdz))
+    return lo, hi, dlo, dhi
+
+
+def _closest_kernel(side: int, n_slabs: int, n_clusters: int,
+                    n_sph: int, n_pln: int,
+                    faces, clusters, sph_ref, pln_ref,
                     ox, oy, oz, dx, dy, dz, tinit,
-                    t_out, face_out, front_out):
+                    t_out, face_out, front_out,
+                    t8_ref, k8_ref):
     pox, poy, poz = ox[0], oy[0], oz[0]
     pdx, pdy, pdz = dx[0], dy[0], dz[0]
     inv_dlen = jax.lax.rsqrt(
@@ -237,8 +313,7 @@ def _closest_kernel(side: int, n_slabs: int, n_sph: int, n_pln: int,
     siota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
 
     # Analytic instances first (packet-fold face coding); their best-t
-    # seeds the final merge (no per-face pruning exists in a brute-force
-    # stream — every face is tested regardless).
+    # seeds the final merge and, in the culled path, the per-row t cap.
     t0 = tinit[0]
     ana_t, ana_face, ana_front = _analytic_closest(
         side, n_sph, n_pln, sph_ref, pln_ref,
@@ -253,8 +328,7 @@ def _closest_kernel(side: int, n_slabs: int, n_sph: int, n_pln: int,
     t8_0 = jnp.broadcast_to(t0, (SLAB,) + t0.shape[1:]).astype(jnp.float32)
     k8_0 = jnp.full(t8_0.shape, _BIGI, jnp.int32)
 
-    def body(s, carry):
-        t8, k8 = carry
+    def slab_step(s, t8, k8):
         slab = faces[pl.ds(s * SLAB, SLAB), :]
         t, front, ok = _slab_test(slab, pox, poy, poz, pdx, pdy, pdz,
                                   inv_dlen, side)
@@ -263,7 +337,38 @@ def _closest_kernel(side: int, n_slabs: int, n_sph: int, n_pln: int,
         upd = tc < t8
         return jnp.where(upd, tc, t8), jnp.where(upd, key, k8)
 
-    t8, k8 = jax.lax.fori_loop(0, n_slabs, body, (t8_0, k8_0))
+    if n_clusters == 0:
+        def body(s, carry):
+            return slab_step(s, *carry)
+
+        t8, k8 = jax.lax.fori_loop(0, n_slabs, body, (t8_0, k8_0))
+    else:
+        # Cluster culling (sorted rows): a conservative per-row interval
+        # test skips whole CL_SLABS runs a coherent row cannot hit before
+        # its current-best t. Results are bit-identical — a skipped
+        # cluster could not have produced t below any lane's cap.
+        t8_ref[...] = t8_0
+        k8_ref[...] = k8_0
+        t_cap = jnp.max(jnp.minimum(t0, ana_t))
+        lo, hi, dlo, dhi = _row_boxes(pox, poy, poz, pdx, pdy, pdz)
+
+        def cl_body(c, carry):
+            t_lo, t_hi = _cluster_window(clusters, c, lo, hi, dlo, dhi)
+            ok = (t_lo <= t_hi) & (t_hi > 0.0) & (t_lo < t_cap)
+
+            @pl.when(ok)
+            def _():
+                t8 = t8_ref[...]
+                k8 = k8_ref[...]
+                for k in range(CL_SLABS):
+                    t8, k8 = slab_step(c * CL_SLABS + k, t8, k8)
+                t8_ref[...] = t8
+                k8_ref[...] = k8
+
+            return carry
+
+        jax.lax.fori_loop(0, n_clusters, cl_body, 0)
+        t8, k8 = t8_ref[...], k8_ref[...]
     t_best = jnp.min(t8, axis=0, keepdims=True)
     bkey = jnp.min(jnp.where((t8 == t_best) & (k8 < _BIGI), k8, _BIGI),
                    axis=0, keepdims=True)
@@ -276,11 +381,12 @@ def _closest_kernel(side: int, n_slabs: int, n_sph: int, n_pln: int,
     front_out[0] = jnp.where(mesh_wins, bkey & 1, ana_front)
 
 
-def _anyhit_kernel(n_slabs: int, bias: float, n_sph: int, n_pln: int,
+def _anyhit_kernel(n_slabs: int, n_clusters: int, bias: float,
+                   n_sph: int, n_pln: int,
                    ana_bias: float, plane_world_bug: bool,
-                   faces, sph_ref, pln_ref,
+                   faces, clusters, sph_ref, pln_ref,
                    ox, oy, oz, dx, dy, dz, tmax,
-                   occ_out):
+                   occ_out, occ_ref):
     pox, poy, poz = ox[0], oy[0], oz[0]
     pdx, pdy, pdz = dx[0], dy[0], dz[0]
     tm = tmax[0]
@@ -315,7 +421,7 @@ def _anyhit_kernel(n_slabs: int, bias: float, n_sph: int, n_pln: int,
         hit = (ldz != 0.0) & (t >= 0.0) & in_ext & (t > ana_bias) & (t < tm)
         occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
 
-    def body(s, occ):
+    def slab_step(s, occ):
         slab = faces[pl.ds(s * SLAB, SLAB), :]
         t, _, ok = _slab_test(slab, pox, poy, poz, pdx, pdy, pdz,
                               inv_dlen, 0)  # front-only (TraceBVHShadow)
@@ -323,12 +429,49 @@ def _anyhit_kernel(n_slabs: int, bias: float, n_sph: int, n_pln: int,
         return jnp.maximum(occ, jnp.max(hit.astype(jnp.int32), axis=0,
                                         keepdims=True))
 
-    occ = jax.lax.fori_loop(0, n_slabs, body, occ0)
+    if n_clusters == 0:
+        occ = jax.lax.fori_loop(0, n_slabs, slab_step, occ0)
+    else:
+        # Cluster culling (sorted rows): shadow segments are short
+        # (t_max = 1 toward point lights), so the [0, t_cap] window culls
+        # hard; already-occluded lanes contribute t_cap 0.
+        occ_ref[...] = occ0
+        t_cap = jnp.max(jnp.where(occ0 > 0, 0.0, tm))
+        lo, hi, dlo, dhi = _row_boxes(pox, poy, poz, pdx, pdy, pdz)
+
+        def cl_body(c, carry):
+            t_lo, t_hi = _cluster_window(clusters, c, lo, hi, dlo, dhi)
+            ok = (t_lo <= t_hi) & (t_hi > 0.0) & (t_lo < t_cap)
+
+            @pl.when(ok)
+            def _():
+                occ = occ_ref[...]
+                for k in range(CL_SLABS):
+                    occ = slab_step(c * CL_SLABS + k, occ)
+                occ_ref[...] = occ
+
+            return carry
+
+        jax.lax.fori_loop(0, n_clusters, cl_body, 0)
+        occ = occ_ref[...]
     occ_out[0] = occ
 
 
+def _cull_tables(pack, faces):
+    """(padded faces, clusters, n_clusters) for the culled kernels: the
+    face table is padded to whole clusters (zero rows are grazing-culled
+    everywhere)."""
+    n_slabs = faces.shape[0] // SLAB
+    n_clusters = -(-n_slabs // CL_SLABS)
+    pad_rows = n_clusters * CL_SLABS * SLAB - faces.shape[0]
+    if pad_rows:
+        faces = jnp.concatenate(
+            [faces, jnp.zeros((pad_rows, faces.shape[1]), faces.dtype)])
+    return faces, _cluster_table(pack, n_slabs), n_clusters
+
+
 def stream_closest(pack, o, d, hit_side: str, t_init=None,
-                   sph_tab=None, pln_tab=None):
+                   sph_tab=None, pln_tab=None, cull: bool = False):
     """Streaming closest hit; same contract as bvh_closest_pallas. With
     sph_tab/pln_tab the analytic instances are folded into the SAME kernel
     (one launch + one padding layout + no XLA combine per trace) using the
@@ -346,27 +489,34 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None,
         if pad else t_init.astype(jnp.float32)
     ).reshape(g, 1, RLANES)
     faces = _stream_table(pack)
+    if cull:
+        faces, clusters, n_clusters = _cull_tables(pack, faces)
+    else:
+        clusters, n_clusters = jnp.zeros((1, 8), jnp.float32), 0
     n_slabs = faces.shape[0] // SLAB
     n_sph = int(sph_tab.shape[0]) if sph_tab is not None else 0
     n_pln = int(pln_tab.shape[0]) if pln_tab is not None else 0
     sph_tab = sph_tab if n_sph else jnp.zeros((1, 12), jnp.float32)
     pln_tab = pln_tab if n_pln else jnp.zeros((1, 12), jnp.float32)
-    kernel = functools.partial(_closest_kernel, side, n_slabs, n_sph, n_pln)
+    kernel = functools.partial(_closest_kernel, side, n_slabs, n_clusters,
+                               n_sph, n_pln)
     ray_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     t, face, front = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[arr, arr, arr] + [ray_spec] * 7,
+        in_specs=[arr, arr, arr, arr] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((g, 1, RLANES), jnp.float32),
             jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
             jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((SLAB, RLANES), jnp.float32),
+                        pltpu.VMEM((SLAB, RLANES), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
-    )(faces, sph_tab, pln_tab, *comps, ti)
+    )(faces, clusters, sph_tab, pln_tab, *comps, ti)
     return (
         t.reshape(-1)[:n],
         face.reshape(-1)[:n],
@@ -376,7 +526,7 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None,
 
 def stream_anyhit(pack, o, d, t_min: float, t_max,
                   sph_tab=None, pln_tab=None, ana_bias: float = 0.0,
-                  plane_world_bug: bool = False):
+                  plane_world_bug: bool = False, cull: bool = False):
     """Streaming any-hit (front-only mesh shadows, TriObj.cpp:272-307).
     With sph_tab/pln_tab the analytic occluders fold into the kernel
     (ShadowRayRecursive semantics: ana_bias/t_max bounds, optional
@@ -390,22 +540,27 @@ def stream_anyhit(pack, o, d, t_min: float, t_max,
         if pad else tmax_full
     ).reshape(g, 1, RLANES)
     faces = _stream_table(pack)
+    if cull:
+        faces, clusters, n_clusters = _cull_tables(pack, faces)
+    else:
+        clusters, n_clusters = jnp.zeros((1, 8), jnp.float32), 0
     n_slabs = faces.shape[0] // SLAB
     n_sph = int(sph_tab.shape[0]) if sph_tab is not None else 0
     n_pln = int(pln_tab.shape[0]) if pln_tab is not None else 0
     sph_tab = sph_tab if n_sph else jnp.zeros((1, 12), jnp.float32)
     pln_tab = pln_tab if n_pln else jnp.zeros((1, 12), jnp.float32)
-    kernel = functools.partial(_anyhit_kernel, n_slabs, t_min, n_sph, n_pln,
-                               ana_bias, plane_world_bug)
+    kernel = functools.partial(_anyhit_kernel, n_slabs, n_clusters, t_min,
+                               n_sph, n_pln, ana_bias, plane_world_bug)
     ray_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[arr, arr, arr] + [ray_spec] * 7,
+        in_specs=[arr, arr, arr, arr] + [ray_spec] * 7,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, RLANES), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
-    )(faces, sph_tab, pln_tab, *comps, tmax_p)
+    )(faces, clusters, sph_tab, pln_tab, *comps, tmax_p)
     return occ.reshape(-1)[:n].astype(bool)

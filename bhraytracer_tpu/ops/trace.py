@@ -68,6 +68,18 @@ _PALLAS_MODE = "auto"
 # off — a kept negative result.
 _DIVERGENT_MODE = "off"
 _STREAM_MODE = "on"
+# Cluster-culled stream: sort the rays (the packet kernels' coherence
+# key), then let the stream kernels skip whole 64-face clusters a row's
+# conservative interval frustum cannot hit before its t cap. Pays one
+# argsort + unsort gathers per trace to make rows tight. Bit-identical
+# results (the cull is conservative). Off until TPU-measured.
+_STREAM_CULL = "off"
+
+
+def set_stream_cull(mode: str) -> None:
+    global _STREAM_CULL
+    assert mode in ("on", "off")
+    _STREAM_CULL = mode
 
 
 def set_pallas_mode(mode: str) -> None:
@@ -469,9 +481,25 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                         stream_closest,
                     )
 
-                    t, face, front = stream_closest(
-                        pack, o, d, hit_side, t_init=best_t,
-                        sph_tab=sph_tab, pln_tab=pln_tab)
+                    if _STREAM_CULL == "on":
+                        from bhraytracer_tpu.ops.compact import (
+                            inverse_permutation,
+                        )
+                        from bhraytracer_tpu.ops.pallas_bvh import (
+                            _coherence_order,
+                        )
+
+                        order = _coherence_order(pack, 0, o, d, best_t)
+                        inv = inverse_permutation(order)
+                        t, face, front = stream_closest(
+                            pack, o[order], d[order], hit_side,
+                            t_init=best_t[order],
+                            sph_tab=sph_tab, pln_tab=pln_tab, cull=True)
+                        t, face, front = t[inv], face[inv], front[inv]
+                    else:
+                        t, face, front = stream_closest(
+                            pack, o, d, hit_side, t_init=best_t,
+                            sph_tab=sph_tab, pln_tab=pln_tab)
                 else:
                     t, face, front = bvh_closest_pallas(
                         pack, 0, o, d, hit_side, t_init=best_t,
@@ -617,6 +645,23 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
                         stream_anyhit,
                     )
 
+                    if _STREAM_CULL == "on":
+                        from bhraytracer_tpu.ops.compact import (
+                            inverse_permutation,
+                        )
+                        from bhraytracer_tpu.ops.pallas_bvh import (
+                            _coherence_order,
+                        )
+
+                        order = _coherence_order(pack, 0, o, d, t_max)
+                        inv = inverse_permutation(order)
+                        occ_s = stream_anyhit(
+                            pack, o[order], d[order], MESH_SHADOW_BIAS,
+                            t_max[order],
+                            sph_tab=sph_tab, pln_tab=pln_tab,
+                            ana_bias=shadow_bias,
+                            plane_world_bug=plane_extent_bug, cull=True)
+                        return occ | occ_s[inv]
                     return occ | stream_anyhit(
                         pack, o, d, MESH_SHADOW_BIAS, t_max,
                         sph_tab=sph_tab, pln_tab=pln_tab,

@@ -227,6 +227,10 @@ def main() -> None:
                             fromlist=["x"]).set_stream_shape(4096, 16),
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
                             fromlist=["x"]).set_stream_shape(2048, 16)),
+        # Cluster-culled sorted stream (bit-identical; pays sort+unsort
+        # per trace for conservative 64-face-cluster skipping).
+        ("stream_cull", None,
+         lambda: T.set_stream_cull("on"), lambda: T.set_stream_cull("off")),
         # Chain trip-width structure (drop counters say what it costs).
         ("tir_head1", {"tir_head_trips": 1}, None, None),
         ("tir_head1_div16", {"tir_head_trips": 1, "tir_tail_divisor": 16},
