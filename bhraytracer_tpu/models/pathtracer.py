@@ -697,10 +697,13 @@ def _shade_level(
     else:
         if "resolve" in abl:
             # Synthetic surface without the packed-row gather (timing only).
+            # mtl is a cheap data-dependent id (a constant would fold the
+            # whole material/chain pipeline away — see the trace stub note).
             dn = normalize(tasks.d)
+            mtl_stub = jax.lax.iota(jnp.int32, n) % pack.mtl_gloss.shape[0]
             surf = Surface(p=tasks.o + tasks.d, n=-dn, uvw=jnp.zeros((n, 3)),
                            duvw=jnp.zeros((n, 2, 3)),
-                           mtl=jnp.zeros((n,), jnp.int32), z=hit.t,
+                           mtl=mtl_stub, z=hit.t,
                            front=hit.front)
         else:
             surf = resolve_hit(pack, tasks.o, tasks.d, hit, dd_x, dd_y,

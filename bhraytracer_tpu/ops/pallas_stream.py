@@ -51,12 +51,14 @@ from bhraytracer_tpu.ops.intersect import PERP_EPS
 from bhraytracer_tpu.ops.linalg import BIG
 
 # Round-4 480K TPU sweep (ms/chunk): (1024,8) 348.5, (2048,8) 311.1,
-# (1024,16) 300.1, (2048,16) 299.2 — bigger rows amortize the per-row
-# analytic fold/loop setup and bigger slabs halve loop iterations; both
-# matter far more than the op-count model predicted (Mosaic pipelines the
-# longer static bodies better).
+# (1024,16) 300.1, (2048,16) 299.2, (2048,32) 286.5 vs 294.1 same-run
+# baseline (5-pass confirm; the first 3-pass read was noise), (4096,16)
+# 366.1 (regression — row padding/register pressure). Bigger rows
+# amortize the per-row analytic fold/loop setup and bigger slabs cut loop
+# iterations; Mosaic pipelines the longer static bodies better than the
+# op-count model predicts.
 RLANES = 2048  # rays per block
-SLAB = 16  # faces tested per slab fetch (sublane dim)
+SLAB = 32  # faces tested per slab fetch (sublane dim)
 
 
 def set_stream_shape(rlanes: int | None = None, slab: int | None = None):
@@ -69,7 +71,7 @@ def set_stream_shape(rlanes: int | None = None, slab: int | None = None):
         assert rlanes % 1024 == 0
         RLANES = rlanes
     if slab is not None:
-        assert slab in (8, 16, 32)
+        assert slab in (8, 16, 32, 64)
         SLAB = slab
 # Above this face count the O(F) stream loses to the packet kernel's
 # culling even on incoherent rays (the union stops saturating the tree).

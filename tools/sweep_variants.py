@@ -221,7 +221,12 @@ def main() -> None:
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
                             fromlist=["x"]).set_stream_shape(2048, 32),
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(2048, 16)),
+                            fromlist=["x"]).set_stream_shape(2048, 32)),
+        ("stream_s64", None,
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(2048, 64),
+         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
+                            fromlist=["x"]).set_stream_shape(2048, 32)),
         ("stream_r4096", None,
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
                             fromlist=["x"]).set_stream_shape(4096, 16),
