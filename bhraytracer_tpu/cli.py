@@ -36,7 +36,10 @@ def _add_render_args(p):
     p.add_argument("--width", type=int, default=None, help="override camera width")
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--chunk-rays", type=int, default=16384)
+    p.add_argument("--chunk-rays", type=int, default=None,
+                   help="lanes per dispatch (default: 16384 on CPU; 491520 "
+                        "on TPU, where whole-image fused chunks amortize "
+                        "the tunnel's ~25ms/program dispatch floor)")
     p.add_argument("--no-gamma", action="store_true")
     p.add_argument("--texture-taps", type=int, default=32)
     p.add_argument("--photon-map", action="store_true",
@@ -154,12 +157,17 @@ def cmd_render(args) -> int:
         cam.width = args.width
     if args.height:
         cam.height = args.height
+    import jax as _jax
+
+    chunk_rays = args.chunk_rays
+    if chunk_rays is None:
+        chunk_rays = 491520 if _jax.default_backend() == "tpu" else 16384
     cfg = RenderConfig(
         spp=args.spp,
         gi_bounces=args.gi_bounces,
         tir_bounces=args.tir_bounces,
         extra_refr_levels=args.extra_refr_levels,
-        chunk_rays=args.chunk_rays,
+        chunk_rays=chunk_rays,
         use_gamma=not args.no_gamma,
         texture_sample_count=args.texture_taps,
         use_photon_map=args.photon_map,

@@ -161,7 +161,10 @@ class RenderConfig:
     # staged stages hit remote-compile failures there). Costs one big
     # compile per (chunk, cfg) shape; the round-1 SIGILL in the TPU
     # compiler's fusion pass on this program has not reproduced since.
-    fused_levels: bool = False
+    # None (default) = auto: fused whenever no photon map is attached (the
+    # fused graph does not thread pmap); numerics are bit-identical either
+    # way (same functions, traced in one graph vs several).
+    fused_levels: bool | None = None
 
     # Refraction-child compaction: each level reserves capacity for at most
     # ceil(N * refr_capacity) refraction children (rounded up to 128 lanes).

@@ -38,7 +38,8 @@ def test_fused_matches_staged(gen_assets_root):
     n = 1536
     base = dict(spp=1, gi_bounces=2, extra_refr_levels=1, tir_bounces=6,
                 chunk_rays=n, texture_sample_count=1, refr_capacity=0.25)
-    r_s, z_s, st_s = _run(pack, cam, RenderConfig(**base), n)
+    # fused_levels=None now auto-selects fused; pin the staged leg.
+    r_s, z_s, st_s = _run(pack, cam, RenderConfig(**base, fused_levels=False), n)
     r_f, z_f, st_f = _run(pack, cam,
                           RenderConfig(**base, fused_levels=True), n)
     # Same RNG chain, same math: stats (drops + segments) must be equal;
