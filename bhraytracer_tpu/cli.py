@@ -161,7 +161,13 @@ def cmd_render(args) -> int:
 
     chunk_rays = args.chunk_rays
     if chunk_rays is None:
-        chunk_rays = 491520 if _jax.default_backend() == "tpu" else 16384
+        # Photon-mapped renders use the per-level staged path (pmap is
+        # threaded per level), which hits remote-compile failures at
+        # ~480K-lane stages — cap its default chunk (round-3 ledger).
+        if _jax.default_backend() == "tpu":
+            chunk_rays = 65536 if args.photon_map else 491520
+        else:
+            chunk_rays = 16384
     cfg = RenderConfig(
         spp=args.spp,
         gi_bounces=args.gi_bounces,

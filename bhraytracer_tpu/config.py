@@ -124,14 +124,16 @@ class RenderConfig:
     # construction.
     ablate: str = ""
 
-    # Fine-grained coherence-reorder toggles, one per trace family. The
-    # reorder sort is ORDER-ONLY (per-lane results and RNG pairing do not
-    # depend on tile grouping, so flipping any of these is bit-identical) —
-    # but each reordered trace pays an argsort (bitonic, O(n log^2 n)) plus
-    # an inverse-permutation scatter (XLA:TPU serializes scatters at
-    # ~30ns/element), and the CHAIN pays that per trip inside its
-    # while_loop. These exist so image-level sweeps can price each family
-    # separately; defaults reflect the round-4 TPU measurements.
+    # Fine-grained coherence-reorder toggles, one per trace family.
+    # CAUTION (round-4 semantics change): with the stream kernel default
+    # ON, `reorder` also SELECTS the kernel — reorder=True routes to the
+    # stream kernel (which needs no sort), reorder=False to the packet
+    # kernel. Stream and packet agree everywhere except the documented
+    # equal-t seam-tie family (<1% of seam pixels can swap faces at equal
+    # t), so flipping these is value-safe but NOT guaranteed bit-identical
+    # anymore. Within one kernel the sort itself is order-only. These
+    # exist so image-level sweeps can price each family separately;
+    # defaults reflect the round-4 TPU measurements.
     closest_reorder: bool = True
     shadow_reorder: bool = True
     chain_reorder: bool = True

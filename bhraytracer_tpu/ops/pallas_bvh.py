@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bhraytracer_tpu.ops.compact import inverse_permutation
 from bhraytracer_tpu.ops.intersect import PERP_EPS
 from bhraytracer_tpu.ops.linalg import BIG
+from bhraytracer_tpu.ops.pallas_analytic import analytic_anyhit, analytic_closest
 
 LANES = 128
 SUBL = 8
@@ -168,21 +169,6 @@ def _box_test(row, lo, pox, poy, poz, idx, idy, idz, t_best):
     return t_lo, hit
 
 
-def _local_ray(ref, k, pox, poy, poz, pdx, pdy, pdz):
-    """Instance-local ray via row k's [itm (9), pos (3)] (pallas_trace
-    layout)."""
-    m = [ref[k, j] for j in range(9)]
-    sx, sy, sz = pox - ref[k, 9], poy - ref[k, 10], poz - ref[k, 11]
-    return (
-        m[0] * sx + m[1] * sy + m[2] * sz,
-        m[3] * sx + m[4] * sy + m[5] * sz,
-        m[6] * sx + m[7] * sy + m[8] * sz,
-        m[0] * pdx + m[1] * pdy + m[2] * pdz,
-        m[3] * pdx + m[4] * pdy + m[5] * pdz,
-        m[6] * pdx + m[7] * pdy + m[8] * pdz,
-    )
-
-
 def _closest_kernel(side: int, n_faces: int, n_sph: int, n_pln: int,
                     root_ref, nodes, faces, sph_ref, pln_ref,
                     ox, oy, oz, dx, dy, dz, tinit,
@@ -204,64 +190,13 @@ def _closest_kernel(side: int, n_faces: int, n_sph: int, n_pln: int,
     dneg_z = jnp.sum((pdz < 0.0).astype(jnp.int32)) > half
     root = root_ref[0]
 
-    t0 = tinit[...]
-    bface0 = jnp.full(pox.shape, -1, jnp.int32)
-    bfront0 = jnp.zeros(pox.shape, jnp.int32)
-
-    # Analytic instances FIRST (formulas identical to ops/pallas_trace's
-    # fused kernel, which this fold replaces for mesh scenes): their best-t
-    # then prunes the mesh traversal below per lane. Analytic winners encode
-    # face = -(2 + inst*4 + kind*2 + front); mesh winners overwrite with the
-    # real face row (>= 0); miss stays -1.
-    for k in range(n_sph):
-        lox, loy, loz, ldx, ldy, ldz = _local_ray(
-            sph_ref, k, pox, poy, poz, pdx, pdy, pdz)
-        a = ldx * ldx + ldy * ldy + ldz * ldz
-        b = 2.0 * (ldx * lox + ldy * loy + ldz * loz)
-        c = lox * lox + loy * loy + loz * loz - 1.0
-        disc = b * b - 4.0 * a * c
-        ok = disc > 0.0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        inv2a = 1.0 / jnp.maximum(2.0 * a, 1e-30)
-        t1 = (-b + sq) * inv2a
-        t2 = (-b - sq) * inv2a
-        both_pos = t2 > 0.0
-        inside = t1 * t2 <= 0.0
-        if side == 0:  # front
-            t = jnp.where(both_pos, t2, BIG)
-            front = jnp.ones_like(ok)
-        elif side == 1:  # back
-            t = jnp.where(both_pos, t1, jnp.where(inside, t1, BIG))
-            front = jnp.zeros_like(ok)
-        else:  # both
-            t = jnp.where(both_pos, t2, jnp.where(inside, t1, BIG))
-            front = both_pos
-        t = jnp.where(ok & (t > 0.0), t, BIG)
-        upd = t < t0
-        t0 = jnp.where(upd, t, t0)
-        bface0 = jnp.where(upd, -(2 + k * 4 + front.astype(jnp.int32)),
-                           bface0)
-        bfront0 = jnp.where(upd, front.astype(jnp.int32), bfront0)
-
-    for k in range(n_pln):
-        lox, loy, loz, ldx, ldy, ldz = _local_ray(
-            pln_ref, k, pox, poy, poz, pdx, pdy, pdz)
-        t = -loz / jnp.where(ldz == 0.0, 1e-30, ldz)
-        x = lox + t * ldx
-        y = loy + t * ldy
-        in_ext = (jnp.abs(x) <= 1.0) & (jnp.abs(y) <= 1.0)
-        front = ldz < 0.0
-        ok = (ldz != 0.0) & (t > 0.0) & in_ext
-        if side == 0:
-            ok &= front
-        elif side == 1:
-            ok &= ~front
-        t = jnp.where(ok, t, BIG)
-        upd = t < t0
-        t0 = jnp.where(upd, t, t0)
-        bface0 = jnp.where(upd, -(2 + k * 4 + 2 + front.astype(jnp.int32)),
-                           bface0)
-        bfront0 = jnp.where(upd, front.astype(jnp.int32), bfront0)
+    # Analytic instances FIRST via the shared fold (pallas_analytic —
+    # also used by the stream kernel; same formulas and face coding as
+    # ops/pallas_trace's dedicated kernels): their best-t then prunes the
+    # mesh traversal below per lane.
+    t0, bface0, bfront0 = analytic_closest(
+        side, n_sph, n_pln, sph_ref, pln_ref,
+        pox, poy, poz, pdx, pdy, pdz, tinit[...])
 
     root_row = _row(nodes, root, upto=8)
     _, root_hit = _box_test(root_row, 0, pox, poy, poz, idx, idy, idz, t0)
@@ -495,31 +430,9 @@ def _anyhit_kernel(n_faces: int, bias: float, n_sph: int, n_pln: int,
     # formulas identical to ops/pallas_trace's shadow kernel, which this
     # fold replaces for mesh scenes): occluded lanes then retire from the
     # traversal vote below with tm = 0.
-    occ0 = jnp.zeros(pox.shape, jnp.int32)
-    for k in range(n_sph):
-        lox, loy, loz, ldx, ldy, ldz = _local_ray(
-            sph_ref, k, pox, poy, poz, pdx, pdy, pdz)
-        a = ldx * ldx + ldy * ldy + ldz * ldz
-        b = 2.0 * (ldx * lox + ldy * loy + ldz * loz)
-        c = lox * lox + loy * loy + loz * loz - 1.0
-        disc = b * b - 4.0 * a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        tmin = (-b - sq) / jnp.maximum(2.0 * a, 1e-30)
-        hit = (disc > 0.0) & (tmin > ana_bias) & (tmin < tm)
-        occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
-    for k in range(n_pln):
-        lox, loy, loz, ldx, ldy, ldz = _local_ray(
-            pln_ref, k, pox, poy, poz, pdx, pdy, pdz)
-        t = -loz / jnp.where(ldz == 0.0, 1e-30, ldz)
-        if plane_world_bug:
-            x = pox + t * pdx
-            y = poy + t * pdy
-        else:
-            x = lox + t * ldx
-            y = loy + t * ldy
-        in_ext = (jnp.abs(x) <= 1.0) & (jnp.abs(y) <= 1.0)
-        hit = (ldz != 0.0) & (t >= 0.0) & in_ext & (t > ana_bias) & (t < tm)
-        occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
+    occ0 = analytic_anyhit(n_sph, n_pln, sph_ref, pln_ref,
+                           pox, poy, poz, pdx, pdy, pdz, tm,
+                           ana_bias, plane_world_bug)
     tm = jnp.where(occ0 > 0, 0.0, tm)
 
     # Prune box descent against the parametric shadow bound: boxes entered

@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bhraytracer_tpu.ops.intersect import PERP_EPS
 from bhraytracer_tpu.ops.linalg import BIG
+from bhraytracer_tpu.ops.pallas_analytic import analytic_anyhit, analytic_closest
 
 # Round-4 480K TPU sweep (ms/chunk): (1024,8) 348.5, (2048,8) 311.1,
 # (1024,16) 300.1, (2048,16) 299.2, (2048,32) 286.5 vs 294.1 same-run
@@ -193,79 +194,6 @@ def _slab_test(slab, pox, poy, poz, pdx, pdy, pdz, inv_dlen, side: int):
     return t, front.astype(jnp.int32), ok
 
 
-def _local_ray(ref, k, pox, poy, poz, pdx, pdy, pdz):
-    """Instance-local ray via row k's [itm (9), pos (3)] (pallas_trace
-    layout); shape-agnostic (works on the (1,RLANES) stream rows)."""
-    m = [ref[k, j] for j in range(9)]
-    sx, sy, sz = pox - ref[k, 9], poy - ref[k, 10], poz - ref[k, 11]
-    return (
-        m[0] * sx + m[1] * sy + m[2] * sz,
-        m[3] * sx + m[4] * sy + m[5] * sz,
-        m[6] * sx + m[7] * sy + m[8] * sz,
-        m[0] * pdx + m[1] * pdy + m[2] * pdz,
-        m[3] * pdx + m[4] * pdy + m[5] * pdz,
-        m[6] * pdx + m[7] * pdy + m[8] * pdz,
-    )
-
-
-def _analytic_closest(side, n_sph, n_pln, sph_ref, pln_ref,
-                      pox, poy, poz, pdx, pdy, pdz, t0):
-    """Sphere/plane closest tests on one ray row — formulas and face coding
-    identical to the packet kernel's fold (pallas_bvh._closest_kernel):
-    winner face = -(2 + inst*4 + kind*2 + front)."""
-    bt = t0
-    bface = jnp.full(pox.shape, -1, jnp.int32)
-    bfront = jnp.zeros(pox.shape, jnp.int32)
-    for k in range(n_sph):
-        lox, loy, loz, ldx, ldy, ldz = _local_ray(
-            sph_ref, k, pox, poy, poz, pdx, pdy, pdz)
-        a = ldx * ldx + ldy * ldy + ldz * ldz
-        b = 2.0 * (ldx * lox + ldy * loy + ldz * loz)
-        c = lox * lox + loy * loy + loz * loz - 1.0
-        disc = b * b - 4.0 * a * c
-        ok = disc > 0.0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        inv2a = 1.0 / jnp.maximum(2.0 * a, 1e-30)
-        t1 = (-b + sq) * inv2a
-        t2 = (-b - sq) * inv2a
-        both_pos = t2 > 0.0
-        inside = t1 * t2 <= 0.0
-        if side == 0:  # front
-            t = jnp.where(both_pos, t2, BIG)
-            front = jnp.ones_like(ok)
-        elif side == 1:  # back
-            t = jnp.where(both_pos, t1, jnp.where(inside, t1, BIG))
-            front = jnp.zeros_like(ok)
-        else:  # both
-            t = jnp.where(both_pos, t2, jnp.where(inside, t1, BIG))
-            front = both_pos
-        t = jnp.where(ok & (t > 0.0), t, BIG)
-        upd = t < bt
-        bt = jnp.where(upd, t, bt)
-        bface = jnp.where(upd, -(2 + k * 4 + front.astype(jnp.int32)), bface)
-        bfront = jnp.where(upd, front.astype(jnp.int32), bfront)
-    for k in range(n_pln):
-        lox, loy, loz, ldx, ldy, ldz = _local_ray(
-            pln_ref, k, pox, poy, poz, pdx, pdy, pdz)
-        t = -loz / jnp.where(ldz == 0.0, 1e-30, ldz)
-        x = lox + t * ldx
-        y = loy + t * ldy
-        in_ext = (jnp.abs(x) <= 1.0) & (jnp.abs(y) <= 1.0)
-        front = ldz < 0.0
-        ok = (ldz != 0.0) & (t > 0.0) & in_ext
-        if side == 0:
-            ok &= front
-        elif side == 1:
-            ok &= ~front
-        t = jnp.where(ok, t, BIG)
-        upd = t < bt
-        bt = jnp.where(upd, t, bt)
-        bface = jnp.where(upd, -(2 + k * 4 + 2 + front.astype(jnp.int32)),
-                          bface)
-        bfront = jnp.where(upd, front.astype(jnp.int32), bfront)
-    return bt, bface, bfront
-
-
 def _cluster_window(clusters, c, lo, hi, dlo, dhi):
     """Conservative scalar [t_lo, t_hi] over every ray in the row for
     crossing cluster c's AABB: interval-arithmetic slab test on the row's
@@ -317,7 +245,7 @@ def _closest_kernel(side: int, n_slabs: int, n_clusters: int,
     # Analytic instances first (packet-fold face coding); their best-t
     # seeds the final merge and, in the culled path, the per-row t cap.
     t0 = tinit[0]
-    ana_t, ana_face, ana_front = _analytic_closest(
+    ana_t, ana_face, ana_front = analytic_closest(
         side, n_sph, n_pln, sph_ref, pln_ref,
         pox, poy, poz, pdx, pdy, pdz, t0)
 
@@ -395,33 +323,10 @@ def _anyhit_kernel(n_slabs: int, n_clusters: int, bias: float,
     inv_dlen = jax.lax.rsqrt(
         jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
 
-    # Analytic occlusion first (ShadowRayRecursive's sphere/plane math;
-    # formulas identical to the packet anyhit fold).
-    occ0 = jnp.zeros(tm.shape, jnp.int32)
-    for k in range(n_sph):
-        lox, loy, loz, ldx, ldy, ldz = _local_ray(
-            sph_ref, k, pox, poy, poz, pdx, pdy, pdz)
-        a = ldx * ldx + ldy * ldy + ldz * ldz
-        b = 2.0 * (ldx * lox + ldy * loy + ldz * loz)
-        c = lox * lox + loy * loy + loz * loz - 1.0
-        disc = b * b - 4.0 * a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        tmin = (-b - sq) / jnp.maximum(2.0 * a, 1e-30)
-        hit = (disc > 0.0) & (tmin > ana_bias) & (tmin < tm)
-        occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
-    for k in range(n_pln):
-        lox, loy, loz, ldx, ldy, ldz = _local_ray(
-            pln_ref, k, pox, poy, poz, pdx, pdy, pdz)
-        t = -loz / jnp.where(ldz == 0.0, 1e-30, ldz)
-        if plane_world_bug:
-            x = pox + t * pdx
-            y = poy + t * pdy
-        else:
-            x = lox + t * ldx
-            y = loy + t * ldy
-        in_ext = (jnp.abs(x) <= 1.0) & (jnp.abs(y) <= 1.0)
-        hit = (ldz != 0.0) & (t >= 0.0) & in_ext & (t > ana_bias) & (t < tm)
-        occ0 = jnp.maximum(occ0, hit.astype(jnp.int32))
+    # Analytic occlusion first (shared fold, pallas_analytic).
+    occ0 = analytic_anyhit(n_sph, n_pln, sph_ref, pln_ref,
+                           pox, poy, poz, pdx, pdy, pdz, tm,
+                           ana_bias, plane_world_bug)
 
     def slab_step(s, occ):
         slab = faces[pl.ds(s * SLAB, SLAB), :]

@@ -82,6 +82,49 @@ def set_stream_cull(mode: str) -> None:
     _STREAM_CULL = mode
 
 
+def _stream_closest_routed(pack, o, d, hit_side, t_init,
+                           sph_tab=None, pln_tab=None):
+    """stream_closest with the optional cluster-cull routing (sort ->
+    culled kernel -> unsort); used by both the analytic-fold and the
+    mesh-only branches of trace_closest."""
+    from bhraytracer_tpu.ops.pallas_stream import stream_closest
+
+    if _STREAM_CULL != "on":
+        return stream_closest(pack, o, d, hit_side, t_init=t_init,
+                              sph_tab=sph_tab, pln_tab=pln_tab)
+    from bhraytracer_tpu.ops.compact import inverse_permutation
+    from bhraytracer_tpu.ops.pallas_bvh import _coherence_order
+
+    order = _coherence_order(pack, 0, o, d, t_init)
+    inv = inverse_permutation(order)
+    t, face, front = stream_closest(
+        pack, o[order], d[order], hit_side, t_init=t_init[order],
+        sph_tab=sph_tab, pln_tab=pln_tab, cull=True)
+    return t[inv], face[inv], front[inv]
+
+
+def _stream_anyhit_routed(pack, o, d, t_min, t_max, sph_tab=None,
+                          pln_tab=None, ana_bias: float = 0.0,
+                          plane_world_bug: bool = False):
+    """stream_anyhit with the optional cluster-cull routing (see above)."""
+    from bhraytracer_tpu.ops.pallas_stream import stream_anyhit
+
+    if _STREAM_CULL != "on":
+        return stream_anyhit(pack, o, d, t_min, t_max, sph_tab=sph_tab,
+                             pln_tab=pln_tab, ana_bias=ana_bias,
+                             plane_world_bug=plane_world_bug)
+    from bhraytracer_tpu.ops.compact import inverse_permutation
+    from bhraytracer_tpu.ops.pallas_bvh import _coherence_order
+
+    order = _coherence_order(pack, 0, o, d, t_max)
+    inv = inverse_permutation(order)
+    occ = stream_anyhit(
+        pack, o[order], d[order], t_min, t_max[order], sph_tab=sph_tab,
+        pln_tab=pln_tab, ana_bias=ana_bias, plane_world_bug=plane_world_bug,
+        cull=True)
+    return occ[inv]
+
+
 def set_pallas_mode(mode: str) -> None:
     global _PALLAS_MODE
     assert mode in ("auto", "on", "off")
@@ -149,9 +192,15 @@ def probe_trace_kernels(pack) -> bool:
 
         o = jnp.asarray(np.tile([[0.0, -8.0, 3.0]], (8, 1)), jnp.float32)
         d = jnp.asarray(np.tile([[0.0, 1.0, -0.2]], (8, 1)), jnp.float32)
-        hit = trace_closest(pack, o, d, "front")
-        occ = trace_shadow(pack, o, d, jnp.ones((8,)), 1e-5)
-        jax.block_until_ready((hit.t, occ))
+        # Both routings compile different kernels: reorder=True is the
+        # stream path (levels >= 1), reorder=False the packet path
+        # (level-0 camera rays) — probing only one would let a Mosaic
+        # failure in the other kill the render mid-run.
+        hit = trace_closest(pack, o, d, "front", reorder=True)
+        hit0 = trace_closest(pack, o, d, "front", reorder=False)
+        occ = trace_shadow(pack, o, d, jnp.ones((8,)), 1e-5, reorder=True)
+        occ0 = trace_shadow(pack, o, d, jnp.ones((8,)), 1e-5, reorder=False)
+        jax.block_until_ready((hit.t, hit0.t, occ, occ0))
         return True
     except Exception as e:  # pragma: no cover - exercised on real TPU only
         import sys
@@ -477,29 +526,9 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                 pln_tab = (instance_table(pack.pln_itm, pack.pln_pos)
                            if pack.n_pln else None)
                 if use_stream:
-                    from bhraytracer_tpu.ops.pallas_stream import (
-                        stream_closest,
-                    )
-
-                    if _STREAM_CULL == "on":
-                        from bhraytracer_tpu.ops.compact import (
-                            inverse_permutation,
-                        )
-                        from bhraytracer_tpu.ops.pallas_bvh import (
-                            _coherence_order,
-                        )
-
-                        order = _coherence_order(pack, 0, o, d, best_t)
-                        inv = inverse_permutation(order)
-                        t, face, front = stream_closest(
-                            pack, o[order], d[order], hit_side,
-                            t_init=best_t[order],
-                            sph_tab=sph_tab, pln_tab=pln_tab, cull=True)
-                        t, face, front = t[inv], face[inv], front[inv]
-                    else:
-                        t, face, front = stream_closest(
-                            pack, o, d, hit_side, t_init=best_t,
-                            sph_tab=sph_tab, pln_tab=pln_tab)
+                    t, face, front = _stream_closest_routed(
+                        pack, o, d, hit_side, best_t,
+                        sph_tab=sph_tab, pln_tab=pln_tab)
                 else:
                     t, face, front = bvh_closest_pallas(
                         pack, 0, o, d, hit_side, t_init=best_t,
@@ -521,10 +550,8 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                            face=best_face, front=best_front,
                            hit=best_t < BIG)
             if use_stream:
-                from bhraytracer_tpu.ops.pallas_stream import stream_closest
-
-                t, face, front = stream_closest(pack, o, d, hit_side,
-                                                t_init=best_t)
+                t, face, front = _stream_closest_routed(pack, o, d,
+                                                        hit_side, best_t)
             elif use_divergent:
                 from bhraytracer_tpu.ops.pallas_bvh_divergent import (
                     bvh_closest_divergent,
@@ -641,28 +668,7 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
                 pln_tab = (instance_table(pack.pln_itm, pack.pln_pos)
                            if pack.n_pln else None)
                 if use_stream:
-                    from bhraytracer_tpu.ops.pallas_stream import (
-                        stream_anyhit,
-                    )
-
-                    if _STREAM_CULL == "on":
-                        from bhraytracer_tpu.ops.compact import (
-                            inverse_permutation,
-                        )
-                        from bhraytracer_tpu.ops.pallas_bvh import (
-                            _coherence_order,
-                        )
-
-                        order = _coherence_order(pack, 0, o, d, t_max)
-                        inv = inverse_permutation(order)
-                        occ_s = stream_anyhit(
-                            pack, o[order], d[order], MESH_SHADOW_BIAS,
-                            t_max[order],
-                            sph_tab=sph_tab, pln_tab=pln_tab,
-                            ana_bias=shadow_bias,
-                            plane_world_bug=plane_extent_bug, cull=True)
-                        return occ | occ_s[inv]
-                    return occ | stream_anyhit(
+                    return occ | _stream_anyhit_routed(
                         pack, o, d, MESH_SHADOW_BIAS, t_max,
                         sph_tab=sph_tab, pln_tab=pln_tab,
                         ana_bias=shadow_bias,
@@ -675,9 +681,8 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
             # the t-bounded box pruning retires them at the root.
             tm_live = jnp.where(occ, 0.0, t_max)
             if use_stream:
-                from bhraytracer_tpu.ops.pallas_stream import stream_anyhit
-
-                occ |= stream_anyhit(pack, o, d, MESH_SHADOW_BIAS, tm_live)
+                occ |= _stream_anyhit_routed(pack, o, d, MESH_SHADOW_BIAS,
+                                             tm_live)
             elif use_divergent:
                 from bhraytracer_tpu.ops.pallas_bvh_divergent import (
                     bvh_anyhit_divergent,

@@ -44,12 +44,14 @@ def _rays(pack, n, seed):
 
 
 def _ab(fn):
-    PB.set_stable_reorder(True)
+    default = PB._STABLE_REORDER
     try:
+        PB.set_stable_reorder(True)
         a = fn()
-    finally:
         PB.set_stable_reorder(False)
-    b = fn()
+        b = fn()
+    finally:
+        PB.set_stable_reorder(default)  # loadscope workers share the module
     return a, b
 
 

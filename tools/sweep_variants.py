@@ -139,8 +139,10 @@ def main() -> None:
          lambda: T.set_pallas_mode("off"), lambda: T.set_pallas_mode("auto")),
         ("divergent_on", None,
          lambda: T.set_divergent_mode("on"), lambda: T.set_divergent_mode("off")),
-        ("stream_on", None,
-         lambda: T.set_stream_mode("on"), lambda: T.set_stream_mode("off")),
+        # Stream is the DEFAULT now; the A/B variant measures it OFF
+        # (packet-only). Teardown restores the default ("on").
+        ("stream_off", None,
+         lambda: T.set_stream_mode("off"), lambda: T.set_stream_mode("on")),
         # Component ablations (cfg.ablate stubs; images are wrong by
         # construction — only the TIMING delta vs baseline means anything).
         ("ablate_chain", {"ablate": "chain"}, None, None),
@@ -150,9 +152,10 @@ def main() -> None:
         ("ablate_rng", {"ablate": "rng"}, None, None),
         ("ablate_trace", {"ablate": "trace"}, None, None),
         ("ablate_resolve", {"ablate": "resolve"}, None, None),
-        # reorder ablation: images are IDENTICAL (per-lane results don't
-        # depend on tile grouping); timing isolates the sort+permute fabric
-        # around every reordered trace.
+        # reorder ablation: with stream ON, reorder also selects the
+        # kernel, so images agree only up to the equal-t seam-tie family
+        # (see config.py); timing compares sorted-stream routing vs
+        # unsorted-packet routing, not just the sort fabric.
         ("ablate_reorder", {"ablate": "reorder"}, None, None),
         ("ablate_compact", {"ablate": "compact"}, None, None),
         ("ablate_all", {"ablate": "chain,direct,gi,rng,trace"}, None, None),
@@ -202,24 +205,17 @@ def main() -> None:
          lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
                             fromlist=["x"]).set_stable_reorder(False)),
         # Stream kernel shape knobs (bit-identical results; order-only).
-        ("stream_r2048", None,
+        # Stream shape A/B variants. Teardowns restore the SHIPPED default
+        # (2048, 32) — a stale teardown here silently re-traces every later
+        # variant on a non-default shape (review finding, round 4).
+        ("stream_r1024_s8", None,
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(2048, 8),
+                            fromlist=["x"]).set_stream_shape(1024, 8),
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(1024, 8)),
+                            fromlist=["x"]).set_stream_shape(2048, 32)),
         ("stream_s16", None,
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(1024, 16),
-         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(1024, 8)),
-        ("stream_r2048_s16", None,
-         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
                             fromlist=["x"]).set_stream_shape(2048, 16),
-         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(2048, 16)),
-        ("stream_s32", None,
-         lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(2048, 32),
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
                             fromlist=["x"]).set_stream_shape(2048, 32)),
         ("stream_s64", None,
@@ -229,9 +225,9 @@ def main() -> None:
                             fromlist=["x"]).set_stream_shape(2048, 32)),
         ("stream_r4096", None,
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(4096, 16),
+                            fromlist=["x"]).set_stream_shape(4096, 32),
          lambda: __import__("bhraytracer_tpu.ops.pallas_stream",
-                            fromlist=["x"]).set_stream_shape(2048, 16)),
+                            fromlist=["x"]).set_stream_shape(2048, 32)),
         # Cluster-culled sorted stream (bit-identical; pays sort+unsort
         # per trace for conservative 64-face-cluster skipping).
         ("stream_cull", None,
