@@ -276,7 +276,7 @@ def _full_1024(spp: int = 1):
 
 
 def _fwd_bwd_1024(width: int = 1024, height: int = 1024,
-                  chunk: int = 65536):
+                  chunk: int = 131072):
     """BASELINE.json inverse-render config: fwd+bwd at 1024x1024, one chip.
 
     Chunked value_and_grad of an image-MSE loss w.r.t. the trainable scene

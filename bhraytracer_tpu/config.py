@@ -137,6 +137,12 @@ class RenderConfig:
     closest_reorder: bool = True
     shadow_reorder: bool = True
     chain_reorder: bool = True
+    # Route the LEVEL-0 (scanline-coherent camera ray) closest/shadow
+    # traces with reorder=True as well — i.e., through the stream kernel
+    # when stream is on. MEASURED NEGATIVE on TPU (round 4, 480K fused):
+    # 299.4 vs 290.5 ms/chunk — the packet kernel traverses coherent
+    # tiles near-optimally and earns level 0. Keep False.
+    level0_reorder: bool = False
 
     # Once-per-level coherence presort: sort the level's tasks by
     # (active, direction octant, origin cell) ONCE, run every trace in the

@@ -645,7 +645,8 @@ def _shade_level(
     else:
         hit = _tag_trace(
             trace_closest(pack, tasks.o, tasks.d, "front",
-                          reorder=level != 0 and cfg.closest_reorder
+                          reorder=(level != 0 or cfg.level0_reorder)
+                          and cfg.closest_reorder
                           and not presort and "reorder" not in abl),
             cfg.differentiable)
     shade = tasks.active & hit.hit
@@ -683,7 +684,8 @@ def _shade_level(
         occ = trace_shadow(pack, fo.shadow_o, fo.shadow_d, fo.shadow_tmax,
                            cfg.shadow_bias,
                            plane_extent_bug=cfg.parity_plane_shadow_bug,
-                           reorder=level != 0 and cfg.shadow_reorder
+                           reorder=(level != 0 or cfg.level0_reorder)
+                           and cfg.shadow_reorder
                            and not presort and "reorder" not in abl)
         vis = jnp.where(occ & fo.gate, 0.0, 1.0)
         # The point-light r^2 == 0 branch returns BIG regardless of
@@ -729,7 +731,8 @@ def _shade_level(
             direct, n_shadow = _direct_light(
                 pack, cfg, surf, mtl, new_spec_color, vn, vv, u_tab[:, :8],
                 shade, pmap=pmap,
-                reorder=level != 0 and cfg.shadow_reorder
+                reorder=(level != 0 or cfg.level0_reorder)
+                and cfg.shadow_reorder
                 and not presort and "reorder" not in abl,
             )
 

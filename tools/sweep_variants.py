@@ -232,6 +232,9 @@ def main() -> None:
         # per trace for conservative 64-face-cluster skipping).
         ("stream_cull", None,
          lambda: T.set_stream_cull("on"), lambda: T.set_stream_cull("off")),
+        # Level-0 camera rays through the stream kernel instead of the
+        # coherent packet kernel (value-safe up to seam ties).
+        ("level0_stream", {"level0_reorder": True}, None, None),
         # Chain trip-width structure (drop counters say what it costs).
         ("tir_head1", {"tir_head_trips": 1}, None, None),
         ("tir_head1_div16", {"tir_head_trips": 1, "tir_tail_divisor": 16},
