@@ -43,12 +43,17 @@ def pytest_cmdline_main(config):
     if os.environ.get(_GROUP_SENTINEL):
         return None  # already inside a group subprocess
     args = list(config.invocation_params.args)
-    paths = [a for a in args if not a.startswith("-")]
+    # config.args holds the PARSED positional targets — naive "doesn't start
+    # with '-'" classification mistook value-taking flags' values ('-k expr',
+    # '--maxfail 3') for target paths, silently skipping the fresh-process
+    # grouping (and would forward the flag without its value).
+    paths = [a for a in config.args if os.path.exists(a)]
     norm = {os.path.normpath(os.path.abspath(p)) for p in paths}
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     if norm and norm != {tests_dir}:
         return None  # targeted invocation: run in-process as usual
-    flags = [a for a in args if a.startswith("-")]
+    path_set = set(paths)
+    flags = [a for a in args if a not in path_set]
     modules = sorted(glob.glob(os.path.join(tests_dir, "test_*.py")))
     if not modules:
         return None

@@ -13,8 +13,26 @@ import pytest
 import jax.numpy as jnp
 
 from bhraytracer_tpu.ops import pallas_bvh as PB
+from bhraytracer_tpu.ops import trace as T
 from bhraytracer_tpu.ops.linalg import BIG
 from bhraytracer_tpu.ops.trace import trace_closest, trace_shadow
+
+
+@pytest.fixture(autouse=True)
+def _packet_reorder_path():
+    """Route reorder=True queries through the PACKET kernel (interpreted on
+    CPU) so _coherence_order actually executes: with pallas 'auto' the CPU
+    conftest takes the XLA while_loop path, and with stream 'on' (the
+    shipped default) reorder=True skips the sort entirely — either way both
+    A/B legs would run identical sort-free code and the test would pin
+    nothing (round-4 advisor finding)."""
+    T.set_pallas_mode("on")
+    T.set_stream_mode("off")
+    try:
+        yield
+    finally:
+        T.set_pallas_mode("auto")
+        T.set_stream_mode("on")
 
 
 @pytest.fixture(scope="module")

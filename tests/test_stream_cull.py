@@ -70,7 +70,20 @@ def test_anyhit_cull_bit_identical(mesh_pack):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_trace_routing_cull_matches(mesh_pack):
+@pytest.fixture
+def _stream_routing():
+    """Force pallas 'on' so reorder=True routes through the STREAM kernel
+    (interpreted on CPU): under the conftest's 'auto' the CPU run takes the
+    XLA while_loop path and set_stream_cull is a no-op — both legs would run
+    identical code (round-4 advisor finding)."""
+    T.set_pallas_mode("on")
+    try:
+        yield
+    finally:
+        T.set_pallas_mode("auto")
+
+
+def test_trace_routing_cull_matches(mesh_pack, _stream_routing):
     """End-to-end trace_closest/trace_shadow with the cull switch on."""
     o, d = _rays(mesh_pack, 4096, 7, sort=False)
     h0 = T.trace_closest(mesh_pack, o, d, "front", reorder=True)

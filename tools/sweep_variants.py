@@ -197,13 +197,16 @@ def main() -> None:
                             fromlist=["x"]).set_cell_res(16),
          lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
                             fromlist=["x"]).set_cell_res(4)),
-        # Stable (pre-round-4) reorder sort; default is now unstable
-        # (bit-identical outputs, ~2x cheaper sort — drill_sort480).
-        ("stable_reorder", None,
+        # UNSTABLE reorder sort A/B; the shipped default is STABLE
+        # (pallas_bvh._STABLE_REORDER = True — stable measured faster
+        # in-context despite the cheaper isolated sort, drill_sort480).
+        # Teardown restores the module default so later variants don't
+        # silently run on the non-default sort (round-4 advisor finding).
+        ("unstable_reorder", None,
          lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
-                            fromlist=["x"]).set_stable_reorder(True),
+                            fromlist=["x"]).set_stable_reorder(False),
          lambda: __import__("bhraytracer_tpu.ops.pallas_bvh",
-                            fromlist=["x"]).set_stable_reorder(False)),
+                            fromlist=["x"]).set_stable_reorder(True)),
         # Stream kernel shape knobs (bit-identical results; order-only).
         # Stream shape A/B variants. Teardowns restore the SHIPPED default
         # (2048, 32) — a stale teardown here silently re-traces every later
