@@ -540,32 +540,40 @@ def probe_shade_kernel(pack, cfg) -> bool:
         return False
 
 
-def _stack_pad(cols, n):
-    """List of (N,) f32 -> (C, G, LANES) padded plane stack."""
+def _pad_planes(x, n):
+    """(C, N) f32 -> (C, G, LANES) padded plane stack."""
     g = -(-n // BLOCK) * SUBL
     pad = g * LANES - n
-    x = jnp.stack([c.astype(jnp.float32) for c in cols])
+    x = x.astype(jnp.float32)
     if pad:
         x = jnp.concatenate([x, jnp.zeros((x.shape[0], pad), jnp.float32)], 1)
     return x.reshape(x.shape[0], g, LANES), g
 
 
+def _stack_pad(cols, n):
+    """List of (N,) f32 -> (C, G, LANES) padded plane stack."""
+    return _pad_planes(jnp.stack([c.astype(jnp.float32) for c in cols]), n)
+
+
 def shade_setup(pack, cfg, o, d, hit, shade, u_tab) -> ShadeSetup:
-    """Run the fused kernel over (N,) lanes. `shade` = active & hit.hit."""
+    """Run the fused kernel over (N,) lanes. `shade` = active & hit.hit.
+
+    Plane stacks are built by TRANSPOSE (one op per source array) instead of
+    per-column strided slices — the same (N,3)->(N,) slice glue the stream
+    kernels shed (round-5 top lever)."""
     n = o.shape[0]
-    rays, g = _stack_pad([o[:, 0], o[:, 1], o[:, 2],
-                          d[:, 0], d[:, 1], d[:, 2]], n)
+    rays, g = _pad_planes(jnp.concatenate([o.T, d.T]), n)
     hitp, _ = _stack_pad([hit.kind.astype(jnp.float32),
                           hit.inst.astype(jnp.float32),
                           hit.front.astype(jnp.float32),
                           shade.astype(jnp.float32)], n)
-    u, _ = _stack_pad([u_tab[:, k] for k in range(13)], n)
+    u, _ = _pad_planes(u_tab.T, n)
     has_rows = bool(pack.n_msh)
     if has_rows:
         fi = jnp.clip(hit.face, 0, pack.resolve_rows.shape[0] - 1)
         rowsg = pack.resolve_rows[fi]  # (N,32)
-        cols = [rowsg[:, k] for k in range(18)] + [rowsg[:, 27]]
-        rows, _ = _stack_pad(cols, n)
+        rows, _ = _pad_planes(
+            jnp.concatenate([rowsg[:, :18].T, rowsg[:, 27:28].T]), n)
     else:
         rows = jnp.zeros((1, g, LANES), jnp.float32)
 

@@ -151,19 +151,24 @@ def _cluster_table(pack, n_slabs: int):
         [bmin, bmax, jnp.zeros((n_clusters, 2), jnp.float32)], axis=1)
 
 
-def _pad_blocks(o, d):
+def _pack_rays(o, d, aux):
+    """Pack (o, d, aux) into ONE (8, N_pad) f32 array — rows [ox, oy, oz,
+    dx, dy, dz, aux, 0] — consumed as aligned (8, RLANES) blocks.
+
+    Replaces the old 6x strided (N,3)->(N,) slice + per-component reshape
+    glue (round-5 top lever): two transposes + one concat, and the 8-row
+    sublane dim is tile-aligned so Mosaic slices rows without relayout.
+    Padding lanes are all-zero: d = 0 fails every ok test in the kernels
+    and aux (t_init/t_max) = 0 retires them."""
     n = o.shape[0]
     g = -(-n // RLANES)
+    rows = jnp.concatenate(
+        [o.T, d.T, aux[None, :].astype(jnp.float32),
+         jnp.zeros((1, n), jnp.float32)], axis=0)
     pad = g * RLANES - n
-
-    def prep(x):
-        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
-        # (g, 1, RLANES): the per-row block (1, 1, RLANES) then EQUALS the
-        # array in its last two dims, which Mosaic requires when the
-        # sublane dim is not a multiple of 8.
-        return x.reshape(g, 1, RLANES)
-
-    return [prep(o[:, k]) for k in range(3)] + [prep(d[:, k]) for k in range(3)], n
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((8, pad), jnp.float32)], 1)
+    return rows, n, g
 
 
 def _slab_test(slab, pox, poy, poz, pdx, pdy, pdz, inv_dlen, side: int):
@@ -233,18 +238,18 @@ def _row_boxes(pox, poy, poz, pdx, pdy, pdz):
 def _closest_kernel(side: int, n_slabs: int, n_clusters: int,
                     n_sph: int, n_pln: int,
                     faces, clusters, sph_ref, pln_ref,
-                    ox, oy, oz, dx, dy, dz, tinit,
-                    t_out, face_out, front_out,
+                    rays,
+                    t_out, key_out,
                     t8_ref, k8_ref):
-    pox, poy, poz = ox[0], oy[0], oz[0]
-    pdx, pdy, pdz = dx[0], dy[0], dz[0]
+    pox, poy, poz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    pdx, pdy, pdz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
     inv_dlen = jax.lax.rsqrt(
         jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
     siota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
 
     # Analytic instances first (packet-fold face coding); their best-t
     # seeds the final merge and, in the culled path, the per-row t cap.
-    t0 = tinit[0]
+    t0 = rays[6:7, :]
     ana_t, ana_face, ana_front = analytic_closest(
         side, n_sph, n_pln, sph_ref, pln_ref,
         pox, poy, poz, pdx, pdy, pdz, t0)
@@ -305,21 +310,23 @@ def _closest_kernel(side: int, n_slabs: int, n_clusters: int,
     mesh_hit = bkey < _BIGI
     # Merge with the analytic winner: strict < keeps the packet fold's
     # tie rule (mesh updates only when strictly closer than analytic).
+    # ONE packed key output (face*2 + front; arithmetic >>1 recovers
+    # negative analytic face codes exactly) replaces the separate
+    # face/front buffers — one fewer (N,) output + reshape of glue.
     mesh_wins = mesh_hit & (t_best < ana_t)
     t_out[0] = jnp.where(mesh_wins, t_best, ana_t)
-    face_out[0] = jnp.where(mesh_wins, bkey >> 1, ana_face)
-    front_out[0] = jnp.where(mesh_wins, bkey & 1, ana_front)
+    key_out[0] = jnp.where(mesh_wins, bkey, ana_face * 2 + ana_front)
 
 
 def _anyhit_kernel(n_slabs: int, n_clusters: int, bias: float,
                    n_sph: int, n_pln: int,
                    ana_bias: float, plane_world_bug: bool,
                    faces, clusters, sph_ref, pln_ref,
-                   ox, oy, oz, dx, dy, dz, tmax,
+                   rays,
                    occ_out, occ_ref):
-    pox, poy, poz = ox[0], oy[0], oz[0]
-    pdx, pdy, pdz = dx[0], dy[0], dz[0]
-    tm = tmax[0]
+    pox, poy, poz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    pdx, pdy, pdz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    tm = rays[6:7, :]
     inv_dlen = jax.lax.rsqrt(
         jnp.maximum(pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
 
@@ -386,15 +393,8 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None,
     face is tested regardless, that is the point."""
     if t_init is None:
         t_init = jnp.full((o.shape[0],), BIG)
-    comps, n = _pad_blocks(o, d)
-    g = comps[0].shape[0]
+    rays, n, g = _pack_rays(o, d, t_init)
     side = {"front": 0, "back": 1, "both": 2}[hit_side]
-    pad = g * RLANES - n
-    ti = (
-        jnp.concatenate([t_init.astype(jnp.float32),
-                         jnp.zeros((pad,), jnp.float32)])
-        if pad else t_init.astype(jnp.float32)
-    ).reshape(g, 1, RLANES)
     faces = _stream_table(pack)
     if cull:
         faces, clusters, n_clusters = _cull_tables(pack, faces)
@@ -407,27 +407,29 @@ def stream_closest(pack, o, d, hit_side: str, t_init=None,
     pln_tab = pln_tab if n_pln else jnp.zeros((1, 12), jnp.float32)
     kernel = functools.partial(_closest_kernel, side, n_slabs, n_clusters,
                                n_sph, n_pln)
-    ray_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((8, RLANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
-    t, face, front = pl.pallas_call(
+    t, key = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[arr, arr, arr, arr] + [ray_spec] * 7,
-        out_specs=(ray_spec, ray_spec, ray_spec),
+        in_specs=[arr, arr, arr, arr, ray_spec],
+        out_specs=(out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((g, 1, RLANES), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
             jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((SLAB, RLANES), jnp.float32),
                         pltpu.VMEM((SLAB, RLANES), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
-    )(faces, clusters, sph_tab, pln_tab, *comps, ti)
+    )(faces, clusters, sph_tab, pln_tab, rays)
+    key = key.reshape(-1)[:n]
     return (
         t.reshape(-1)[:n],
-        face.reshape(-1)[:n],
-        front.reshape(-1)[:n].astype(bool),
+        key >> 1,
+        (key & 1).astype(bool),
     )
 
 
@@ -438,14 +440,8 @@ def stream_anyhit(pack, o, d, t_min: float, t_max,
     With sph_tab/pln_tab the analytic occluders fold into the kernel
     (ShadowRayRecursive semantics: ana_bias/t_max bounds, optional
     plane_world_bug frame mix-up)."""
-    comps, n = _pad_blocks(o, d)
-    g = comps[0].shape[0]
-    tmax_full = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
-    pad = g * RLANES - n
-    tmax_p = (
-        jnp.concatenate([tmax_full, jnp.zeros((pad,), jnp.float32)])
-        if pad else tmax_full
-    ).reshape(g, 1, RLANES)
+    tmax_full = jnp.broadcast_to(t_max, (o.shape[0],))
+    rays, n, g = _pack_rays(o, d, tmax_full)
     faces = _stream_table(pack)
     if cull:
         faces, clusters, n_clusters = _cull_tables(pack, faces)
@@ -458,16 +454,18 @@ def stream_anyhit(pack, o, d, t_min: float, t_max,
     pln_tab = pln_tab if n_pln else jnp.zeros((1, 12), jnp.float32)
     kernel = functools.partial(_anyhit_kernel, n_slabs, n_clusters, t_min,
                                n_sph, n_pln, ana_bias, plane_world_bug)
-    ray_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((8, RLANES), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, RLANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     arr = pl.BlockSpec(memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[arr, arr, arr, arr] + [ray_spec] * 7,
-        out_specs=ray_spec,
+        in_specs=[arr, arr, arr, arr, ray_spec],
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((g, 1, RLANES), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, RLANES), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
-    )(faces, clusters, sph_tab, pln_tab, *comps, tmax_p)
+    )(faces, clusters, sph_tab, pln_tab, rays)
     return occ.reshape(-1)[:n].astype(bool)

@@ -533,22 +533,27 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                     t, face, front = bvh_closest_pallas(
                         pack, 0, o, d, hit_side, t_init=best_t,
                         reorder=reorder, sph_tab=sph_tab, pln_tab=pln_tab)
-                # Decode the analytic face coding (see bvh_closest_pallas).
+                # Decode the analytic face coding (see bvh_closest_pallas)
+                # and build the Hit DIRECTLY: best_* still hold their inits
+                # here (the fold consumed the analytic instances in-kernel),
+                # so the old best-combine wheres were 6 full-width no-ops of
+                # pure glue. Miss lanes now carry kind=KIND_MESH /
+                # inst=face_inst[0] junk instead of zeros — every consumer
+                # masks with active & hit (see the packet-union note in
+                # docs/LEDGER.md).
                 ana = face <= -2
                 code = (-face) - 2
                 mface = jnp.clip(face, 0, pack.face_inst.shape[0] - 1)
-                kind = jnp.where(ana, (code >> 1) & 1, KIND_MESH)
-                inst = jnp.where(ana, code >> 2, pack.face_inst[mface])
-                face = jnp.where(ana, -1, face)
-                upd = t < best_t
-                best_t = jnp.where(upd, t, best_t)
-                best_kind = jnp.where(upd, kind, best_kind)
-                best_inst = jnp.where(upd, inst, best_inst)
-                best_face = jnp.where(upd, face, best_face)
-                best_front = jnp.where(upd, front, best_front)
-                return Hit(t=best_t, kind=best_kind, inst=best_inst,
-                           face=best_face, front=best_front,
-                           hit=best_t < BIG)
+                if "inst" in _GATHER_STUB:  # instrumentation only
+                    minst = jnp.zeros_like(face)
+                else:
+                    minst = pack.face_inst[mface]
+                return Hit(t=t,
+                           kind=jnp.where(ana, (code >> 1) & 1, KIND_MESH),
+                           inst=jnp.where(ana, code >> 2, minst),
+                           face=jnp.where(ana, -1, face),
+                           front=front,
+                           hit=t < BIG)
             if use_stream:
                 t, face, front = _stream_closest_routed(pack, o, d,
                                                         hit_side, best_t)
@@ -565,11 +570,18 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                                                     reorder=reorder)
         else:
             t, face, front = bvh_closest(pack, 0, o, d, hit_side, best_t)
-        upd = t < best_t
         if "inst" in _GATHER_STUB:  # instrumentation only (set_gather_stub)
             inst = jnp.zeros_like(face)
         else:
             inst = pack.face_inst[jnp.clip(face, 0, pack.face_inst.shape[0] - 1)]
+        if not (pack.n_sph or pack.n_pln):
+            # Mesh-only scene: best_* still hold their inits, so the
+            # best-combine wheres below would be full-width no-op glue.
+            # Miss lanes carry kind=KIND_MESH / inst=face_inst[junk] —
+            # consumers mask with active & hit.
+            return Hit(t=t, kind=jnp.full_like(face, KIND_MESH), inst=inst,
+                       face=face, front=front, hit=t < BIG)
+        upd = t < best_t
         best_t = jnp.where(upd, t, best_t)
         best_kind = jnp.where(upd, KIND_MESH, best_kind)
         best_inst = jnp.where(upd, inst, best_inst)

@@ -166,6 +166,29 @@ def studio_backdrop(half=4.0, wall_x=2.0, wall_h=4.0):
     return v, f
 
 
+def dense_profile(profile, rows: int):
+    """Catmull-Rom-ish densification of an (M,2) profile to ~`rows` rows
+    (linear interp is enough for a benchmark asset; the point is face
+    count, not beauty)."""
+    p = np.asarray(profile, np.float64)
+    seg = np.linalg.norm(np.diff(p, axis=0), axis=1)
+    t = np.concatenate([[0.0], np.cumsum(seg)])
+    tt = np.linspace(0.0, t[-1], rows)
+    r = np.interp(tt, t, p[:, 0])
+    z = np.interp(tt, t, p[:, 1])
+    return np.stack([r, z], -1)
+
+
+def gen_big_mesh(root: str, rows: int = 220, n_seg: int = 256) -> None:
+    """teapot_hires.obj: a ~112K-face revolve of the same teapot profile —
+    the big-mesh benchmark asset (the bundled scenes top out at 1408 faces,
+    which hides the stream kernel's O(F) scaling; cyBVH handles arbitrary
+    OBJs, TriObj.cpp:192-270)."""
+    v, f = revolve(dense_profile(teapot_profile(), rows), n_seg=n_seg)
+    write_obj(os.path.join(root, "Resource", "Data", "teapot_hires.obj"), v, f)
+    print(f"teapot_hires: {v.shape[0]} verts, {f.shape[0]} tris")
+
+
 def main(root: str) -> None:
     v, f = revolve(teapot_profile(), n_seg=64)
     for name in [
@@ -234,4 +257,7 @@ def main(root: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "assets")
+    root = sys.argv[1] if len(sys.argv) > 1 else "assets"
+    main(root)
+    if "--big" in sys.argv:
+        gen_big_mesh(root)
