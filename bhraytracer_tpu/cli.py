@@ -41,6 +41,11 @@ def _add_render_args(p):
                         "on TPU, where whole-image fused chunks amortize "
                         "the tunnel's ~25ms/program dispatch floor)")
     p.add_argument("--no-gamma", action="store_true")
+    p.add_argument("--adaptive", type=int, metavar="EXTRA_SPP", default=0,
+                   help="adaptive sampling: give the highest-contrast "
+                        "pixels EXTRA_SPP extra samples after the base pass")
+    p.add_argument("--adaptive-fraction", type=float, default=0.15,
+                   help="fraction of pixels the adaptive pass refines")
     p.add_argument("--texture-taps", type=int, default=32)
     p.add_argument("--photon-map", action="store_true",
                    help="build + use a caustic photon map (USE_PhotonMap)")
@@ -178,6 +183,8 @@ def cmd_render(args) -> int:
         texture_sample_count=args.texture_taps,
         use_photon_map=args.photon_map,
         photon_count=args.photon_count,
+        adaptive_spp=args.adaptive,
+        adaptive_fraction=args.adaptive_fraction,
     )
     import jax
 

@@ -120,7 +120,9 @@ class RenderConfig:
     # attribute per-chunk cost on hardware where per-op microbenchmarks are
     # unreliable (the tunnel journals/replays same-input calls). Supported:
     # "chain", "direct", "shadow", "gi", "rng", "trace", "resolve",
-    # "compact". Renders with a non-empty value are WRONG images by
+    # "compact", "raygen" (corner rays, no jitter RNG), "combine" (cheap
+    # level-consuming reduction instead of the backward scatter/clamp
+    # tree). Renders with a non-empty value are WRONG images by
     # construction.
     ablate: str = ""
 
@@ -173,6 +175,16 @@ class RenderConfig:
     # fused graph does not thread pmap); numerics are bit-identical either
     # way (same functions, traced in one graph vs several).
     fused_levels: bool | None = None
+
+    # Adaptive sampling (our extension; the reference's RenderImage carries
+    # a per-pixel sample-count buffer for exactly this, scene.h:532-536,
+    # 605-626, though its PathTracing uses a fixed 32 spp). After the base
+    # cfg.spp pass, the `adaptive_fraction` highest-contrast pixels (plus
+    # every pixel of any chunk that reported dropped lanes) receive
+    # `adaptive_spp` EXTRA samples; the per-pixel sample-count aux buffer
+    # then reflects the true counts and the image divides by them.
+    adaptive_spp: int = 0
+    adaptive_fraction: float = 0.15
 
     # Refraction-child compaction: each level reserves capacity for at most
     # ceil(N * refr_capacity) refraction children (rounded up to 128 lanes).

@@ -51,8 +51,9 @@ class DenoiserUNet(nn.Module):
         return color + delta
 
 
-def init_denoiser(key, aux_channels: int = 0, size: int = 32):
-    model = DenoiserUNet(aux_channels=aux_channels)
+def init_denoiser(key, aux_channels: int = 0, size: int = 32,
+                  features: Sequence[int] = (16, 32, 64)):
+    model = DenoiserUNet(aux_channels=aux_channels, features=tuple(features))
     params = model.init(key, jnp.zeros((1, size, size, 3 + aux_channels)))
     return model, params
 
@@ -115,14 +116,17 @@ def train_denoiser(
 _PRETRAINED = "denoiser_weights.npz"
 
 
-def save_weights(params, path: str, aux_channels: int = 0) -> None:
-    """Flatten the flax param pytree to an npz (plus the aux-channel count)."""
+def save_weights(params, path: str, aux_channels: int = 0,
+                 features: Sequence[int] = (16, 32, 64)) -> None:
+    """Flatten the flax param pytree to an npz (plus the aux-channel count
+    and the feature widths, so load_weights rebuilds the right module)."""
     import os
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrs = {"/".join(str(getattr(k, "key", k)) for k in path_): np.asarray(v)
             for path_, v in flat}
     arrs["__aux_channels__"] = np.int32(aux_channels)
+    arrs["__features__"] = np.asarray(features, np.int32)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrs)
@@ -133,10 +137,12 @@ def load_weights(path: str):
     """Inverse of save_weights: returns (model, params)."""
     data = np.load(path)
     aux = int(data["__aux_channels__"])
-    model = DenoiserUNet(aux_channels=aux)
+    feats = (tuple(int(x) for x in data["__features__"])
+             if "__features__" in data.files else (16, 32, 64))
+    model = DenoiserUNet(aux_channels=aux, features=feats)
     params = {}
     for k in data.files:
-        if k == "__aux_channels__":
+        if k in ("__aux_channels__", "__features__"):
             continue
         node = params
         parts = k.split("/")

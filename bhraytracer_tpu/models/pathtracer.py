@@ -521,17 +521,54 @@ def _refraction_chain(pack, cfg, surf, mtl: Mtl, vn, vv, cos_phi1, refr_eff,
 
     zero = jnp.zeros((), jnp.int32)
     if cfg.differentiable:
-        # Fixed-trip scan: reverse-mode AD cannot cross while_loop. The body
+        # Fixed-trip scans: reverse-mode AD cannot cross while_loop. The body
         # is a fixpoint (settled lanes no-op), so extra trips are exact.
+        # Two-stage like inference (round-5): the old single scan paid
+        # tir_bounces+1 trips at FULL K width — most lanes settle on trip 1,
+        # so the tail re-compacts stragglers to k2 width (gather/scatter are
+        # linear, AD-transparent; the partition ids are stop-gradient ints).
+        # Same drop accounting as the inference chain.
         body_d = (jax.checkpoint(body, policy=_remat_policy())
                   if cfg.remat_levels else body)
 
         def scan_body(s, _):
             return jax.lax.cond(jnp.any(~s["settled"]), body_d, lambda x: x, s), None
 
-        state, _ = jax.lax.scan(scan_body, state, None, length=cfg.tir_bounces + 1)
-        return (state["case"], state["out_o"], state["out_d"], state["bounce"],
-                zero, state["segs"])
+        total_trips = cfg.tir_bounces + 1
+        head = min(cfg.tir_head_trips, total_trips)
+        k2 = max(128, -(-n // cfg.tir_tail_divisor) // 128 * 128)
+        if not (cfg.tir_tail_compaction and k2 < n and head < total_trips):
+            state, _ = jax.lax.scan(scan_body, state, None, length=total_trips)
+            return (state["case"], state["out_o"], state["out_d"],
+                    state["bounce"], zero, state["segs"])
+        state, _ = jax.lax.scan(scan_body, state, None, length=head)
+        unsettled = ~state["settled"]
+        sel = partition_indices(jax.lax.stop_gradient(unsettled), k2)
+        sel_valid = unsettled[sel]
+        sub = {k_: state[k_][sel] for k_ in
+               ("p", "nrm", "d", "bounce", "case", "out_o", "out_d")}
+        sub["settled"] = ~sel_valid
+        sub["it"] = state["it"]
+        sub["segs"] = state["segs"]
+        body2 = make_body(mtl.ior[sel], rgloss[sel])
+        body2_d = (jax.checkpoint(body2, policy=_remat_policy())
+                   if cfg.remat_levels else body2)
+
+        def scan_body2(s, _):
+            return jax.lax.cond(jnp.any(~s["settled"]), body2_d,
+                                lambda x: x, s), None
+
+        sub, _ = jax.lax.scan(scan_body2, sub, None,
+                              length=total_trips - head)
+        for k_ in ("case", "bounce"):
+            state[k_] = state[k_].at[sel].set(
+                jnp.where(sel_valid, sub[k_], state[k_][sel]))
+        for k_ in ("out_o", "out_d"):
+            state[k_] = state[k_].at[sel].set(
+                jnp.where(sel_valid[:, None], sub[k_], state[k_][sel]))
+        dropped = (jnp.sum(unsettled) - jnp.sum(sel_valid)).astype(jnp.int32)
+        return (state["case"], state["out_o"], state["out_d"],
+                state["bounce"], dropped, sub["segs"])
 
     # Two-stage chain: most lanes settle within the first few trips (exit or
     # early TIR); the long TIR tail re-compacts the stragglers to a quarter
@@ -1016,13 +1053,7 @@ def trace_radiance(pack, cfg: RenderConfig, o, d, bg_uv, key, dd_x, dd_y, pmap=N
         recs.append(rec)
 
     # Unexpanded tail: children of the last level contribute black.
-    m = tasks.o.shape[0]
-    child_rad = jnp.zeros((m, 3))
-    child_z = jnp.full((m,), BIG)
-    child_hit = jnp.zeros((m,), bool)
-    for level in reversed(range(cfg.max_levels)):
-        rad = _combine_level(cfg, level, recs[level], child_rad, child_z, child_hit)
-        child_rad, child_z, child_hit = rad, recs[level].z, recs[level].hit
+    child_rad = _combine_tree(cfg, tuple(recs), tasks.active)
 
     bg = sample_background(pack, bg_uv)
     rad = jnp.where(recs[0].hit[:, None], child_rad, bg)
@@ -1076,10 +1107,20 @@ _render_chunk_jit = jax.jit(
 
 def _stage_raygen(pack, cfg, cam, width, height, px, py, key):
     n = px.shape[0]
-    u = jax.random.uniform(jax.random.fold_in(key, 0),
-                           (n, 4 if cfg.use_dof else 2))
-    o, d = gen_rays(cam, width, height, px, py, u)
-    _, dd_x, dd_y = camera_basis(cam, width, height)
+    if "raygen" in (cfg.ablate.split(",") if cfg.ablate else ()):
+        # Instrumentation only: corner rays without the jitter uniforms /
+        # DOF / per-lane RNG — data-dependent on (px, py) so downstream
+        # traversal sees the same pixel-grid ray population (a constant ray
+        # would collapse the whole trace; see the trace stub note).
+        tl, dd_x, dd_y = camera_basis(cam, width, height)
+        d = (tl[None, :] + px.astype(jnp.float32)[:, None] * dd_x[None, :]
+             + py.astype(jnp.float32)[:, None] * dd_y[None, :])
+        o = jnp.broadcast_to(cam.pos, (n, 3))
+    else:
+        u = jax.random.uniform(jax.random.fold_in(key, 0),
+                               (n, 4 if cfg.use_dof else 2))
+        o, d = gen_rays(cam, width, height, px, py, u)
+        _, dd_x, dd_y = camera_basis(cam, width, height)
     bg_uv = jnp.stack(
         [px.astype(jnp.float32) / width, py.astype(jnp.float32) / height, jnp.zeros(n)],
         -1,
@@ -1255,6 +1296,27 @@ _chunk_fused_at_jit = jax.jit(
     static_argnames=("cfg", "width", "height", "chunk", "want_aux"))
 
 
+def _chunk_fused_px(pack, cfg, cam, width, height, px, py, ck,
+                    accum, zbuf, first, st_prev):
+    """Monolithic chunk program over an EXPLICIT pixel list (px, py) — the
+    adaptive-sampling pass renders scattered high-variance pixels, which
+    the start-scalar iota of _chunk_fused_at cannot express."""
+    o, d, bg, dd_x, dd_y = _stage_raygen(pack, cfg, cam, width, height,
+                                         px, py, ck)
+    rec, tasks, _ = _shade_entry(pack, cfg, o, d, ck, dd_x, dd_y, None)
+    recs = [rec]
+    for level in range(1, cfg.max_levels):
+        rec, tasks, _ = _shade_next(pack, cfg, tasks, level, ck, dd_x, dd_y,
+                                    None)
+        recs.append(rec)
+    return _combine_finish(cfg, tuple(recs), tasks.active, bg, accum, zbuf,
+                           first, st_prev)
+
+
+_chunk_fused_px_jit = jax.jit(
+    _chunk_fused_px, static_argnames=("cfg", "width", "height"))
+
+
 def _staged_levels(pack, cfg, o, d, bg, dd_x, dd_y, key, pmap,
                    accum, zbuf, first: bool, want_aux: bool, st_prev=None):
     # Dispatch economy: one jitted call per level plus ONE combined
@@ -1298,9 +1360,20 @@ def _shade_next(pack, cfg, tasks, level, key, dd_x, dd_y, pmap=None):
                         dd_x, dd_y, pmap)
 
 
-def _combine_finish(cfg, recs, probe, bg, accum, zbuf, first, st_prev):
-    """Backward combine over all levels + miss/background resolve + accum
-    update + stat sums, as ONE program."""
+def _combine_tree(cfg, recs, probe):
+    """Backward combine over all levels -> level-0 radiance. With
+    cfg.ablate 'combine', the per-level scatter/clamp tree is replaced by a
+    cheap reduction that still CONSUMES every level output (so XLA cannot
+    dead-code-eliminate the levels themselves — only the combine's own cost
+    is removed; wrong image by construction)."""
+    if "combine" in (cfg.ablate.split(",") if cfg.ablate else ()):
+        s = jnp.zeros(())
+        for r in recs:
+            s = s + (jnp.sum(r.direct) + jnp.sum(r.gi_albedo)
+                     + jnp.sum(r.gi_env) + jnp.sum(r.refr_mult)
+                     + jnp.sum(r.refr_env) + jnp.sum(r.refr_add)
+                     + jnp.sum(r.z % 3.0))
+        return recs[0].direct + s * 1e-12
     m = probe.shape[0]
     child_rad = jnp.zeros((m, 3))
     child_z = jnp.full((m,), BIG)
@@ -1309,6 +1382,13 @@ def _combine_finish(cfg, recs, probe, bg, accum, zbuf, first, st_prev):
         rad = _combine_level(cfg, level, recs[level], child_rad, child_z,
                              child_hit)
         child_rad, child_z, child_hit = rad, recs[level].z, recs[level].hit
+    return child_rad
+
+
+def _combine_finish(cfg, recs, probe, bg, accum, zbuf, first, st_prev):
+    """Backward combine over all levels + miss/background resolve + accum
+    update + stat sums, as ONE program."""
+    child_rad = _combine_tree(cfg, recs, probe)
     st = st_prev
     for r in recs:
         st = st + jnp.stack([r.drop_refr, r.drop_tir, r.drop_gi,
@@ -1453,6 +1533,10 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
             save_render_state(checkpoint_dir, accum, zbuffer, done,
                               cfg, width, height, seed)
 
+    # Per-pixel sample counts (RenderImage sample-count buffer parity,
+    # scene.h:532-536, 605-626): base pass writes spp everywhere; the
+    # adaptive pass below adds its extra samples per selected pixel.
+    sample_counts = np.full((total,), spp, np.int64)
     # Put the tunneled client into eager execution mode up front (its
     # initial journaling mode defers execution and lies to
     # block_until_ready; one tiny fetch flips it — measured faster
@@ -1473,7 +1557,49 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
     while pending:
         harvest(*pending.pop(0))
 
-    img = accum / spp
+    if cfg.adaptive_spp > 0:
+        # Adaptive pass: give the highest-contrast pixels (a 3x3-box local
+        # contrast on the base image — the course adaptive-AA criterion the
+        # reference's sample-count buffer exists for) cfg.adaptive_spp
+        # extra samples each, via the explicit-pixel fused chunk program.
+        img_lin = (accum / spp).reshape(height, width, 3)
+        pad = np.pad(img_lin, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        blur = sum(pad[i:i + height, j:j + width]
+                   for i in range(3) for j in range(3)) / 9.0
+        metric = np.abs(img_lin - blur).sum(-1).reshape(-1)
+        k_sel = max(1, int(total * cfg.adaptive_fraction))
+        sel = np.sort(np.argpartition(metric, total - k_sel)[total - k_sel:])
+        a_chunk = min(chunk, max(1024, -(-k_sel // 1024) * 1024))
+        for a_start in range(0, k_sel, a_chunk):
+            part = sel[a_start:a_start + a_chunk]
+            count = part.shape[0]
+            idx = np.concatenate(
+                [part, np.full(a_chunk - count, sel[0], np.int64)])
+            px_d = jnp.asarray(idx % width, jnp.int32)
+            py_d = jnp.asarray(idx // width, jnp.int32)
+            acc_d, st_d = jnp.zeros((a_chunk, 3)), jnp.zeros((4,), jnp.int32)
+            zb_d = jnp.full((a_chunk,), BIG)
+            for s in range(cfg.adaptive_spp):
+                ck = jax.random.fold_in(
+                    jax.random.fold_in(key, 0x5EED + s), a_start)
+                if photon_map is not None:
+                    # The fused graph does not thread pmap; photon scenes
+                    # take the staged px/py driver for the extra passes.
+                    acc_d, zb_d, st = render_chunk_staged(
+                        pack, cfg, cam, width, height, px_d, py_d, ck,
+                        photon_map, acc_d, zb_d, False, st_prev=st_d)
+                    st_d = st.vec
+                else:
+                    acc_d, zb_d, st_d = _chunk_fused_px_jit(
+                        pack, cfg, cam, width, height, px_d, py_d, ck,
+                        acc_d, zb_d, False, st_d)
+            st_host = np.asarray(st_d, np.int64)
+            total_drops[:] += st_host[:3]
+            total_segments += int(st_host[3])
+            accum[part] += np.asarray(acc_d, np.float32)[:count]
+            sample_counts[part] += cfg.adaptive_spp
+
+    img = accum / sample_counts[:, None].astype(np.float32)
     if cfg.use_gamma:
         img = np.power(np.maximum(img, 0.0), 1.0 / cfg.gamma)
     img = img.reshape(height, width, 3)
@@ -1494,7 +1620,8 @@ def render_image(pack, camera, cfg: RenderConfig = RenderConfig(), seed: int = 0
                                  aux=aux))
     if return_aux:
         return img, {"zbuffer": zbuffer.reshape(height, width),
-                     "sample_count": np.full((height, width), spp, np.int32),
+                     "sample_count":
+                         sample_counts.reshape(height, width).astype(np.int32),
                      "albedo": aux_albedo.reshape(height, width, 3),
                      "normal": aux_normal.reshape(height, width, 3),
                      "dropped_lanes": {"refr_overflow": int(total_drops[0]),

@@ -152,6 +152,8 @@ def main() -> None:
         ("ablate_rng", {"ablate": "rng"}, None, None),
         ("ablate_trace", {"ablate": "trace"}, None, None),
         ("ablate_resolve", {"ablate": "resolve"}, None, None),
+        ("ablate_raygen", {"ablate": "raygen"}, None, None),
+        ("ablate_combine", {"ablate": "combine"}, None, None),
         # reorder ablation: with stream ON, reorder also selects the
         # kernel, so images agree only up to the equal-t seam-tie family
         # (see config.py); timing compares sorted-stream routing vs

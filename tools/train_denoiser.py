@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--clean-spp", type=int, default=48)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--features", default="24,48,96",
+                    help="comma-separated U-Net feature widths")
     args = ap.parse_args()
 
     if args.cpu:
@@ -44,7 +46,9 @@ def main():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     assets = os.path.join(repo, "assets")
-    scenes = ["proj2.xml", "proj7.xml", "proj12_backfaceTest.xml"]
+    scenes = ["proj2.xml", "proj7.xml", "proj10.xml", "proj11_0.xml",
+              "proj12_backfaceTest.xml"]
+    heldout = "proj12_metals.xml"  # NEVER trained on — the PSNR report scene
     ref = "/root/reference/BHRayTracer/Resource/Data"
 
     import warnings
@@ -72,16 +76,28 @@ def main():
     noisy = np.concatenate(noisy_l)
     clean = np.concatenate(clean_l)
 
+    # 8x dihedral augmentation (flips + rotations; square crops).
+    def augment(x):
+        outs = []
+        for k in range(4):
+            r = np.rot90(x, k, axes=(1, 2))
+            outs += [r, r[:, :, ::-1]]
+        return np.concatenate(outs)
+
+    noisy, clean = augment(noisy), augment(clean)
+    print(f"training set (augmented): {noisy.shape}", flush=True)
+
+    feats = tuple(int(f) for f in args.features.split(","))
     model, params = DN.init_denoiser(jax.random.PRNGKey(0), aux_channels=6,
-                                     size=args.res)
+                                     size=args.res, features=feats)
     params, losses = DN.train_denoiser(model, params, noisy, clean,
-                                       steps=args.steps, batch=4)
+                                       steps=args.steps, batch=8)
     print(f"loss {losses[0]:.5f} -> {np.mean(losses[-20:]):.5f}", flush=True)
 
     base = float(np.mean((noisy[..., :3] - clean) ** 2))
     out = args.out or os.path.join(repo, "bhraytracer_tpu", "models",
                                    DN._PRETRAINED)
-    DN.save_weights(params, out, aux_channels=6)
+    DN.save_weights(params, out, aux_channels=6, features=feats)
     m2, p2 = DN.load_weights(out)
     import jax.numpy as jnp
 
@@ -89,8 +105,32 @@ def main():
                                            aux=jnp.asarray(x[..., 3:])))
                      for x in noisy])
     mse = float(np.mean((pred - clean) ** 2))
-    print(f"saved {out}: denoised-mse {mse:.5f} vs noisy-mse {base:.5f} "
-          f"({base / max(mse, 1e-12):.2f}x reduction)", flush=True)
+    print(f"saved {out}: train denoised-mse {mse:.5f} vs noisy-mse "
+          f"{base:.5f} ({base / max(mse, 1e-12):.2f}x reduction)", flush=True)
+
+    # Held-out PSNR report (the VERDICT quality bar: >= +3 dB at spp2 on a
+    # scene NOT in the training set).
+    ho_path = os.path.join(ref, heldout)
+    if os.path.exists(ho_path):
+        pack, cam = load_scene(ho_path, resource_root=assets)
+        cam.width = cam.height = args.res
+        cfg = RenderConfig(spp=1, gi_bounces=2, extra_refr_levels=1,
+                           tir_bounces=8, chunk_rays=args.res * args.res,
+                           texture_sample_count=1)
+        hn, hc = DN.render_training_pairs(
+            pack, cam, cfg, n_pairs=2, noisy_spp=2,
+            clean_spp=args.clean_spp, seed=31, with_aux=True)
+
+        def psnr(a, b):
+            return -10.0 * np.log10(max(float(np.mean((a - b) ** 2)), 1e-12))
+
+        hp = np.stack([np.asarray(DN.denoise(m2, p2, jnp.asarray(x[..., :3]),
+                                             aux=jnp.asarray(x[..., 3:])))
+                       for x in hn])
+        p_in = psnr(hn[..., :3], hc)
+        p_dn = psnr(hp, hc)
+        print(f"HELD-OUT {heldout}: noisy {p_in:.2f} dB -> denoised "
+              f"{p_dn:.2f} dB (gain {p_dn - p_in:+.2f} dB)", flush=True)
 
 
 if __name__ == "__main__":
