@@ -44,3 +44,19 @@ def test_final_scene_renders(reference_dir, assets, rel, min_meshes, min_mean):
     img = render_image(pack, cam, cfg, seed=0)
     assert np.isfinite(img).all()
     assert float(img.mean()) > min_mean  # something got lit
+
+    # Golden pin (round-5, VERDICT weak #6): deterministic fixed-seed
+    # renders against committed goldens — catches silent regressions the
+    # smoke floor cannot. Goldens use the generated stand-in assets;
+    # regenerate with /tmp-style snippet in git history after intentional
+    # image changes.
+    from bhraytracer_tpu.models.pathtracer import image_to_u8
+    from bhraytracer_tpu.utils.png import read_png
+
+    name = os.path.basename(rel).split(".")[0]
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               f"{name}.png")
+    golden = read_png(golden_path)
+    diff = np.abs(image_to_u8(img).astype(int) - golden.astype(int))
+    assert diff.mean() < 1.0, (name, diff.mean(), diff.max())
+    assert (diff > 8).mean() < 0.005, (name, (diff > 8).mean())

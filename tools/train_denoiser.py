@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--features", default="24,48,96",
                     help="comma-separated U-Net feature widths")
+    ap.add_argument("--render-scene", default=None, help="internal: render "
+                    "one scene's pairs and exit (fresh-process worker)")
+    ap.add_argument("--render-out", default=None)
+    ap.add_argument("--seed", type=int, default=17)
     args = ap.parse_args()
 
     if args.cpu:
@@ -51,23 +55,46 @@ def main():
     heldout = "proj12_metals.xml"  # NEVER trained on — the PSNR report scene
     ref = "/root/reference/BHRayTracer/Resource/Data"
 
-    import warnings
-
-    warnings.simplefilter("ignore")
-
-    noisy_l, clean_l = [], []
-    for sx in scenes:
-        path = os.path.join(ref, sx)
-        if not os.path.exists(path):
-            continue
-        pack, cam = load_scene(path, resource_root=assets)
+    if args.render_scene:
+        pack, cam = load_scene(os.path.join(ref, args.render_scene),
+                               resource_root=assets)
         cam.width = cam.height = args.res
         cfg = RenderConfig(spp=1, gi_bounces=2, extra_refr_levels=1,
                            tir_bounces=8, chunk_rays=args.res * args.res,
                            texture_sample_count=1)
         n, c = DN.render_training_pairs(
             pack, cam, cfg, n_pairs=args.pairs_per_scene, noisy_spp=2,
-            clean_spp=args.clean_spp, seed=17, with_aux=True)
+            clean_spp=args.clean_spp, seed=args.seed, with_aux=True)
+        with open(args.render_out, "wb") as f:
+            np.savez(f, noisy=n, clean=c)
+        return
+
+    import warnings
+
+    warnings.simplefilter("ignore")
+
+    # Each scene's pairs render in a FRESH subprocess: accumulated XLA:CPU
+    # compiles in one process exhaust mmap sections (LLVM "Unable to
+    # allocate section memory" with most of RAM free) — same disease the
+    # test suite's fresh-process module groups guard against.
+    import subprocess
+    import tempfile
+
+    noisy_l, clean_l = [], []
+    for sx in scenes:
+        path = os.path.join(ref, sx)
+        if not os.path.exists(path):
+            continue
+        with tempfile.NamedTemporaryFile(suffix=".npz") as tf:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpu",
+                 "--render-scene", sx, "--render-out", tf.name,
+                 "--res", str(args.res), "--clean-spp", str(args.clean_spp),
+                 "--pairs-per-scene", str(args.pairs_per_scene),
+                 "--seed", "17"],
+                check=True)
+            data = np.load(tf.name)
+            n, c = data["noisy"], data["clean"]
         noisy_l.append(n)
         clean_l.append(c)
         print(f"{sx}: pairs {n.shape} noisy-mse "
@@ -112,14 +139,15 @@ def main():
     # scene NOT in the training set).
     ho_path = os.path.join(ref, heldout)
     if os.path.exists(ho_path):
-        pack, cam = load_scene(ho_path, resource_root=assets)
-        cam.width = cam.height = args.res
-        cfg = RenderConfig(spp=1, gi_bounces=2, extra_refr_levels=1,
-                           tir_bounces=8, chunk_rays=args.res * args.res,
-                           texture_sample_count=1)
-        hn, hc = DN.render_training_pairs(
-            pack, cam, cfg, n_pairs=2, noisy_spp=2,
-            clean_spp=args.clean_spp, seed=31, with_aux=True)
+        with tempfile.NamedTemporaryFile(suffix=".npz") as tf:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpu",
+                 "--render-scene", heldout, "--render-out", tf.name,
+                 "--res", str(args.res), "--clean-spp", str(args.clean_spp),
+                 "--pairs-per-scene", "2", "--seed", "31"],
+                check=True)
+            data = np.load(tf.name)
+            hn, hc = data["noisy"], data["clean"]
 
         def psnr(a, b):
             return -10.0 * np.log10(max(float(np.mean((a - b) ** 2)), 1e-12))
