@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -119,6 +120,18 @@ def _render_progressive(args, pack, cam, cfg, photon_map,
             preview = np.power(np.maximum(preview, 0.0), 1.0 / cfg.gamma)
         write_png(args.output, image_to_u8(preview))
         if liveview is not None:
+            # Aux view modes (the viewport's 1-5 keys, viewport.cpp:419-485):
+            # z-buffer + sample-count PNGs refreshed per pass.
+            from bhraytracer_tpu.models.pathtracer import zbuffer_to_u8
+
+            root, _ = os.path.splitext(args.output)
+            zp, sp = root + ".z.png", root + ".samples.png"
+            write_png(zp, zbuffer_to_u8(aux["zbuffer"]))
+            sc = aux["sample_count"].astype(np.float32)
+            sc8 = (sc / max(float(sc.max()), 1.0) * 255.0).astype(np.uint8)
+            write_png(sp, sc8)
+            liveview.register_aux("zbuffer", zp)
+            liveview.register_aux("samples", sp)
             liveview.note_pass(j + 1, spp_done)
         print(f"pass {j + 1}/{passes}: {spp_done}/{cfg.spp} spp in "
               f"{time.time() - t0:.1f}s -> {args.output}")

@@ -87,18 +87,25 @@ def train_denoiser(
     lr: float = 1e-3,
     batch: int = 4,
     seed: int = 0,
+    weights: Optional[np.ndarray] = None,  # (N,) per-pair loss weights
 ) -> Tuple[object, list]:
-    """Self-supervised training on (low-spp, high-spp) render pairs."""
+    """Self-supervised training on (low-spp, high-spp) render pairs.
+
+    `weights` rebalances the per-pair MSE so one noisy scene cannot
+    dominate the loss (e.g. 1/noisy_mse per pair, normalized)."""
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     noisy, _, _ = _pad4(jnp.asarray(noisy))
     clean, _, _ = _pad4(jnp.asarray(clean))
+    w = (jnp.ones((noisy.shape[0],)) if weights is None
+         else jnp.asarray(weights, jnp.float32))
 
     @jax.jit
     def step(params, opt_state, idx):
         def loss_fn(p):
             pred = model.apply(p, noisy[idx])
-            return jnp.mean((pred - clean[idx]) ** 2)
+            per = jnp.mean((pred - clean[idx]) ** 2, axis=(1, 2, 3))
+            return jnp.mean(per * w[idx])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state)

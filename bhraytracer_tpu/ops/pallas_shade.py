@@ -571,9 +571,12 @@ def shade_setup(pack, cfg, o, d, hit, shade, u_tab) -> ShadeSetup:
     has_rows = bool(pack.n_msh)
     if has_rows:
         fi = jnp.clip(hit.face, 0, pack.resolve_rows.shape[0] - 1)
-        rowsg = pack.resolve_rows[fi]  # (N,32)
-        rows, _ = _pad_planes(
-            jnp.concatenate([rowsg[:, :18].T, rowsg[:, 27:28].T]), n)
+        # Gather only the 19 columns the kernel consumes (v0..v2, n0..n2,
+        # mtl) from an F-sized pre-sliced table (traced once per program) —
+        # the full (N,32) row gather moved 13 dead columns per lane.
+        krows = jnp.concatenate(
+            [pack.resolve_rows[:, :18], pack.resolve_rows[:, 27:28]], 1)
+        rows, _ = _pad_planes(krows[fi].T, n)
     else:
         rows = jnp.zeros((1, g, LANES), jnp.float32)
 

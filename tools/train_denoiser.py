@@ -30,6 +30,9 @@ def main():
                     "one scene's pairs and exit (fresh-process worker)")
     ap.add_argument("--render-out", default=None)
     ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--noisy-spp", default="2",
+                    help="comma-separated noisy spp values; pairs rotate "
+                         "through them (robustness across noise levels)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -50,8 +53,9 @@ def main():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     assets = os.path.join(repo, "assets")
-    scenes = ["proj2.xml", "proj7.xml", "proj10.xml", "proj11_0.xml",
-              "proj12_backfaceTest.xml"]
+    scenes = ["proj2.xml", "proj3.xml", "proj5.xml", "proj7.xml",
+              "proj9.xml", "proj10.xml", "proj11_0.xml", "proj11_1.xml",
+              "proj12_0.xml", "proj12_backfaceTest.xml", "proj13.xml"]
     heldout = "proj12_metals.xml"  # NEVER trained on — the PSNR report scene
     ref = "/root/reference/BHRayTracer/Resource/Data"
 
@@ -62,11 +66,16 @@ def main():
         cfg = RenderConfig(spp=1, gi_bounces=2, extra_refr_levels=1,
                            tir_bounces=8, chunk_rays=args.res * args.res,
                            texture_sample_count=1)
-        n, c = DN.render_training_pairs(
-            pack, cam, cfg, n_pairs=args.pairs_per_scene, noisy_spp=2,
-            clean_spp=args.clean_spp, seed=args.seed, with_aux=True)
+        spps = [int(x) for x in args.noisy_spp.split(",")]
+        ns, cs = [], []
+        for j, sv in enumerate(spps):
+            n, c = DN.render_training_pairs(
+                pack, cam, cfg, n_pairs=args.pairs_per_scene, noisy_spp=sv,
+                clean_spp=args.clean_spp, seed=args.seed + 100 * j,
+                with_aux=True)
+            ns.append(n); cs.append(c)
         with open(args.render_out, "wb") as f:
-            np.savez(f, noisy=n, clean=c)
+            np.savez(f, noisy=np.concatenate(ns), clean=np.concatenate(cs))
         return
 
     import warnings
@@ -91,7 +100,7 @@ def main():
                  "--render-scene", sx, "--render-out", tf.name,
                  "--res", str(args.res), "--clean-spp", str(args.clean_spp),
                  "--pairs-per-scene", str(args.pairs_per_scene),
-                 "--seed", "17"],
+                 "--noisy-spp", args.noisy_spp, "--seed", "17"],
                 check=True)
             data = np.load(tf.name)
             n, c = data["noisy"], data["clean"]
@@ -114,11 +123,18 @@ def main():
     noisy, clean = augment(noisy), augment(clean)
     print(f"training set (augmented): {noisy.shape}", flush=True)
 
+    # Per-pair loss rebalance: 1/noisy-mse, clipped — without it the
+    # noisiest scene (Cornell, ~10x the others) dominates the objective
+    # and the net ignores everything else (the round-5 held-out failure).
+    per_mse = np.mean((noisy[..., :3] - clean) ** 2, axis=(1, 2, 3))
+    w = 1.0 / np.clip(per_mse, 1e-4, None)
+    w = (w / w.mean()).astype(np.float32)
+
     feats = tuple(int(f) for f in args.features.split(","))
     model, params = DN.init_denoiser(jax.random.PRNGKey(0), aux_channels=6,
                                      size=args.res, features=feats)
     params, losses = DN.train_denoiser(model, params, noisy, clean,
-                                       steps=args.steps, batch=8)
+                                       steps=args.steps, batch=8, weights=w)
     print(f"loss {losses[0]:.5f} -> {np.mean(losses[-20:]):.5f}", flush=True)
 
     base = float(np.mean((noisy[..., :3] - clean) ** 2))
