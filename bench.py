@@ -430,6 +430,55 @@ def _photon_leg():
              photon_count=1 << 17), spp=1, name="proj13")
 
 
+def _bigmesh_leg(spp: int = 1):
+    """112K-face mesh scene (teapot_hires stand-in): the big-mesh path the
+    1,408-face bundled scenes cannot exercise — treelet-streamed packet
+    traversal (the stream kernel gates out at 8,192 faces). Full 800x600
+    render, honest segs/s."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from bhraytracer_tpu.config import RenderConfig
+    from bhraytracer_tpu.models.pathtracer import render_image
+    from bhraytracer_tpu.scene import desc as D
+    from bhraytracer_tpu.scene.compile import compile_scene
+    from bhraytracer_tpu.scene.obj_loader import load_obj
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    hires = os.path.join(repo, "assets", "Resource", "Data",
+                         "teapot_hires.obj")
+    if not os.path.exists(hires):
+        subprocess.run([sys.executable,
+                        os.path.join(repo, "tools", "gen_assets.py"),
+                        os.path.join(repo, "assets"), "--big"], check=True)
+
+    sd = _tiny_scene_desc()
+    sd.meshes.append(load_obj(hires))
+    t = D.Transform()
+    t.scale(0.25, 0.25, 0.25)
+    t.translate(np.array([0.0, 2.5, 0.0]))
+    sd.nodes.append(D.NodeDesc(kind="mesh", name="hires", transform=t,
+                               material=0, mesh=len(sd.meshes) - 1))
+    pack = compile_scene(sd)
+    cam = sd.camera
+    cam.width, cam.height = 800, 600
+    cfg = RenderConfig(spp=spp, gi_bounces=1, extra_refr_levels=1,
+                       tir_bounces=8, chunk_rays=480000,
+                       texture_sample_count=1, fused_levels=True)
+    render_image(pack, cam, cfg, seed=0)  # warmup: compiles
+    t0 = time.perf_counter()
+    _, aux = render_image(pack, cam, cfg, seed=1, return_aux=True)
+    dt = time.perf_counter() - t0
+    segs = aux["traced_segments"]
+    return {"wall_s": round(dt, 3), "segments": segs,
+            "segments_per_sec": round(segs / dt),
+            "faces": int(pack.face_v.shape[0]), "spp": spp,
+            "treelets": len(pack.treelets)}
+
+
 def _scaling_curve():
     """Rays/s over a VIRTUAL 8-device CPU mesh (hardware multi-chip is not
     available in this environment; this validates the dp sharding adds no
@@ -596,6 +645,10 @@ def main():
             full["proj13_photon"] = _photon_leg()
         except Exception as e:  # pragma: no cover
             full["proj13_error"] = str(e)[:500]
+        try:
+            full["bigmesh_112k"] = _bigmesh_leg()
+        except Exception as e:  # pragma: no cover
+            full["bigmesh_error"] = str(e)[:500]
         try:
             full["scaling_virtual_cpu_mesh"] = _scaling_curve()
             full["scaling_note"] = (

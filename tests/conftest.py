@@ -46,8 +46,9 @@ def pytest_cmdline_main(config):
     # config.args holds the PARSED positional targets — naive "doesn't start
     # with '-'" classification mistook value-taking flags' values ('-k expr',
     # '--maxfail 3') for target paths, silently skipping the fresh-process
-    # grouping (and would forward the flag without its value).
-    paths = [a for a in config.args if os.path.exists(a)]
+    # grouping (and would forward the flag without its value). Node ids
+    # ('file.py::test[param]') count as targets via their file part.
+    paths = [a for a in config.args if os.path.exists(a.split("::")[0])]
     norm = {os.path.normpath(os.path.abspath(p)) for p in paths}
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     if norm and norm != {tests_dir}:
@@ -57,8 +58,16 @@ def pytest_cmdline_main(config):
     modules = sorted(glob.glob(os.path.join(tests_dir, "test_*.py")))
     if not modules:
         return None
+    # The reverse-mode FD modules compile the biggest XLA:CPU programs by
+    # far; isolating them keeps their group's accumulated-compile footprint
+    # below the EH-frame-corruption threshold (observed worker crashes in
+    # the shared gradients group at ~29 tests/21 min).
+    heavy = [m for m in modules
+             if os.path.basename(m) in ("test_gradients.py",)]
+    modules = [m for m in modules if m not in heavy]
     n_groups = -(-len(modules) // _MODULES_PER_GROUP)
     groups = [modules[i::n_groups] for i in range(n_groups)]
+    groups += [[m] for m in heavy]
     env = dict(os.environ, **{_GROUP_SENTINEL: "1"})
     stop_early = config.getoption("exitfirst", False)
     worst = 0
