@@ -63,7 +63,8 @@ def pytest_cmdline_main(config):
     # below the EH-frame-corruption threshold (observed worker crashes in
     # the shared gradients group at ~29 tests/21 min).
     heavy = [m for m in modules
-             if os.path.basename(m) in ("test_gradients.py",)]
+             if os.path.basename(m) in ("test_gradients.py",
+                                        "test_gradients_mesh.py")]
     modules = [m for m in modules if m not in heavy]
     n_groups = -(-len(modules) // _MODULES_PER_GROUP)
     groups = [modules[i::n_groups] for i in range(n_groups)]
