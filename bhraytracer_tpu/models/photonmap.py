@@ -371,33 +371,101 @@ def gather_irradiance(pmap: PhotonMapPack, pos, normal, k: int | None = None,
     363-365). k=None disables the shrink (pure fixed-radius estimate).
 
     TPU re-design: instead of a per-query heap, the k-th distance^2 is
-    located by 1 + refine_passes histogram sweeps (16 bins each) over the
-    grid neighborhood, then one final accumulation sweep below the found
-    threshold — every sweep is the same fully-vectorized 27-cell scan.
+    located by 1 + refine_passes histogram sweeps (16 bins each), then one
+    final accumulation sweep below the found threshold. On TPU the sweeps
+    are PALLAS PHOTON STREAMS (ops/pallas_photon: every photon past every
+    query lane, zero control flow) — the grid-bucket fold's cost is
+    cell_cap-bound, and a CAUSTIC map's focal cell can hold ~20% of all
+    photons (proj13: 17,936/94K), degenerating the XLA loop to ~2M
+    serialized trips and crashing the TPU worker's deadman. The streamed
+    sweeps' cost is density-independent. The XLA 27-cell fold remains the
+    CPU/fallback path (identical accept sets; float sum order differs).
     Resolution of the threshold: r^2 / 16^(1+refine_passes).
     """
     n = pos.shape[0]
     r2 = pmap.radius * pmap.radius
 
-    def sweep_a(carry, accept, dist2, pw, pd):
-        irr, ds, cnt, hist = carry
-        am = accept[:, None]
-        irr = irr + jnp.where(am, pw, 0.0)
-        maxp = jnp.max(pw, axis=-1, keepdims=True)
-        ds = ds + jnp.where(am, pd * maxp, 0.0)
-        cnt = cnt + accept.astype(jnp.int32)
-        b = jnp.clip((dist2 * (_HIST_BINS / r2)).astype(jnp.int32), 0,
-                     _HIST_BINS - 1)
-        hist = hist + jnp.where(
-            am, jax.nn.one_hot(b, _HIST_BINS, dtype=jnp.int32), 0
-        )
-        return irr, ds, cnt, hist
+    from bhraytracer_tpu.ops.trace import _pallas_enabled
 
-    irr_full, ds_full, cnt, hist = _fold_photons(
-        pmap, pos, normal, sweep_a,
-        (jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros((n,), jnp.int32),
-         jnp.zeros((n, _HIST_BINS), jnp.int32)),
-    )
+    use_stream = False
+    if _pallas_enabled():
+        from bhraytracer_tpu.ops.pallas_photon import stream_gatherable
+
+        use_stream = stream_gatherable(pmap)
+
+    if use_stream:
+        from bhraytracer_tpu.ops.pallas_photon import (
+            stream_sweep_final,
+            stream_sweep_full,
+            stream_sweep_hist,
+        )
+
+        def sweep_full():
+            return stream_sweep_full(pmap, pos, normal)
+
+        def sweep_hist(lo, hi):
+            return stream_sweep_hist(pmap, pos, normal, lo, hi)
+
+        def sweep_final(t):
+            return stream_sweep_final(pmap, pos, normal, t)
+    else:
+        def sweep_full():
+            def sweep_a(carry, accept, dist2, pw, pd):
+                irr, ds, cnt, hist = carry
+                am = accept[:, None]
+                irr = irr + jnp.where(am, pw, 0.0)
+                maxp = jnp.max(pw, axis=-1, keepdims=True)
+                ds = ds + jnp.where(am, pd * maxp, 0.0)
+                cnt = cnt + accept.astype(jnp.int32)
+                b = jnp.clip((dist2 * (_HIST_BINS / r2)).astype(jnp.int32),
+                             0, _HIST_BINS - 1)
+                hist = hist + jnp.where(
+                    am, jax.nn.one_hot(b, _HIST_BINS, dtype=jnp.int32), 0
+                )
+                return irr, ds, cnt, hist
+
+            return _fold_photons(
+                pmap, pos, normal, sweep_a,
+                (jnp.zeros((n, 3)), jnp.zeros((n, 3)),
+                 jnp.zeros((n,), jnp.int32),
+                 jnp.zeros((n, _HIST_BINS), jnp.int32)),
+            )
+
+        def sweep_hist(lo, hi):
+            def sweep_h(carry, accept, dist2, pw, pd):
+                (h,) = carry
+                inb = accept & (dist2 >= lo) & (dist2 < hi)
+                b = jnp.clip(
+                    ((dist2 - lo)
+                     * (_HIST_BINS / jnp.maximum(hi - lo, 1e-30))
+                     ).astype(jnp.int32),
+                    0, _HIST_BINS - 1)
+                h = h + jnp.where(
+                    inb[:, None],
+                    jax.nn.one_hot(b, _HIST_BINS, dtype=jnp.int32), 0
+                )
+                return (h,)
+
+            (hist,) = _fold_photons(
+                pmap, pos, normal, sweep_h,
+                (jnp.zeros((n, _HIST_BINS), jnp.int32),),
+            )
+            return hist
+
+        def sweep_final(t):
+            def sweep_f(carry, accept, dist2, pw, pd):
+                irr, ds = carry
+                am = (accept & (dist2 <= t))[:, None]
+                irr = irr + jnp.where(am, pw, 0.0)
+                maxp = jnp.max(pw, axis=-1, keepdims=True)
+                ds = ds + jnp.where(am, pd * maxp, 0.0)
+                return irr, ds
+
+            return _fold_photons(
+                pmap, pos, normal, sweep_f,
+                (jnp.zeros((n, 3)), jnp.zeros((n, 3))))
+
+    irr_full, ds_full, cnt, hist = sweep_full()
 
     if k is None:
         return irr_full / (jnp.pi * r2), normalize(ds_full)
@@ -424,22 +492,7 @@ def gather_irradiance(pmap: PhotonMapPack, pos, normal, k: int | None = None,
     below, lo, hi = pick_bin(hist, below, lo, hi)
 
     for _ in range(refine_passes):
-        def sweep_h(carry, accept, dist2, pw, pd, lo=lo, hi=hi):
-            (h,) = carry
-            inb = accept & (dist2 >= lo) & (dist2 < hi)
-            b = jnp.clip(
-                ((dist2 - lo) * (_HIST_BINS / jnp.maximum(hi - lo, 1e-30))
-                 ).astype(jnp.int32),
-                0, _HIST_BINS - 1)
-            h = h + jnp.where(
-                inb[:, None], jax.nn.one_hot(b, _HIST_BINS, dtype=jnp.int32), 0
-            )
-            return (h,)
-
-        (hist,) = _fold_photons(
-            pmap, pos, normal, sweep_h,
-            (jnp.zeros((n, _HIST_BINS), jnp.int32),),
-        )
+        hist = sweep_hist(lo, hi)
         below, lo, hi = pick_bin(hist, below, lo, hi)
 
     # Threshold: upper edge of the bracket containing the k-th distance^2
@@ -447,17 +500,7 @@ def gather_irradiance(pmap: PhotonMapPack, pos, normal, k: int | None = None,
     need = cnt > k
     t = jnp.where(need, hi, r2)
 
-    def sweep_f(carry, accept, dist2, pw, pd):
-        irr, ds = carry
-        am = (accept & (dist2 <= t))[:, None]
-        irr = irr + jnp.where(am, pw, 0.0)
-        maxp = jnp.max(pw, axis=-1, keepdims=True)
-        ds = ds + jnp.where(am, pd * maxp, 0.0)
-        return irr, ds
-
-    irr_k, ds_k = _fold_photons(
-        pmap, pos, normal, sweep_f, (jnp.zeros((n, 3)), jnp.zeros((n, 3)))
-    )
+    irr_k, ds_k = sweep_final(t)
 
     irr = jnp.where(need[:, None], irr_k / (jnp.pi * t[:, None]),
                     irr_full / (jnp.pi * r2))

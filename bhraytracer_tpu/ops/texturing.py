@@ -32,6 +32,19 @@ def tile_clamp(u):
     return jnp.where(u < 0.0, u + 1.0, u)
 
 
+# Instrumentation ONLY (tools/sweep_variants.py): replace the four atlas
+# texel gathers with a cheap data-dependent hash so image-level sweeps can
+# attribute their cost. Module switch read at TRACE time — sweeps must
+# jax.clear_caches() (sweep_variants does). Renders with it on are WRONG
+# images by construction.
+_FETCH_STUB = False
+
+
+def set_fetch_stub(on: bool) -> None:
+    global _FETCH_STUB
+    _FETCH_STUB = bool(on)
+
+
 def texture_eval(pack, tex_id, uvw):
     """Single-tap texture lookup. tex_id: (N,) i32 (valid), uvw: (N,3)."""
     tex_id = jnp.clip(tex_id, 0, pack.tex_kind.shape[0] - 1)
@@ -63,6 +76,14 @@ def texture_eval(pack, tex_id, uvw):
     iyp = jnp.where(iy + 1 >= h, iy + 1 - h, iy + 1)
 
     def fetch(yy, xx):
+        if _FETCH_STUB:  # data-dependent, unfoldable, gather-free
+            h = (tex_id.astype(jnp.uint32) * jnp.uint32(2654435761)
+                 + yy.astype(jnp.uint32) * jnp.uint32(40503)
+                 + xx.astype(jnp.uint32) * jnp.uint32(97))
+            h = h ^ (h >> 13)
+            return jnp.stack([(h & 255), ((h >> 8) & 255),
+                              ((h >> 16) & 255)],
+                             axis=-1).astype(jnp.float32) * (1.0 / 255.0)
         return pack.atlas[tex_id, yy, xx].astype(jnp.float32) * (1.0 / 255.0)
 
     bilin = (

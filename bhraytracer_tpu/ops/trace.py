@@ -86,9 +86,23 @@ def _stream_closest_routed(pack, o, d, hit_side, t_init,
                            sph_tab=None, pln_tab=None):
     """stream_closest with the optional cluster-cull routing (sort ->
     culled kernel -> unsort); used by both the analytic-fold and the
-    mesh-only branches of trace_closest."""
+    mesh-only branches of trace_closest. Big meshes (above the flat
+    kernel's face gate) take the grouped HBM stream, where the coherence
+    sort is REQUIRED (group culling only pays on spatially-tight
+    blocks)."""
     from bhraytracer_tpu.ops.pallas_stream import stream_closest
 
+    if _stream_uses_hbm(pack):
+        from bhraytracer_tpu.ops.compact import inverse_permutation
+        from bhraytracer_tpu.ops.pallas_bvh import _coherence_order
+        from bhraytracer_tpu.ops.pallas_stream_hbm import stream_closest_hbm
+
+        order = _coherence_order(pack, 0, o, d, t_init)
+        inv = inverse_permutation(order)
+        t, face, front = stream_closest_hbm(
+            pack, o[order], d[order], hit_side, t_init=t_init[order],
+            sph_tab=sph_tab, pln_tab=pln_tab)
+        return t[inv], face[inv], front[inv]
     if _STREAM_CULL != "on":
         return stream_closest(pack, o, d, hit_side, t_init=t_init,
                               sph_tab=sph_tab, pln_tab=pln_tab)
@@ -109,6 +123,18 @@ def _stream_anyhit_routed(pack, o, d, t_min, t_max, sph_tab=None,
     """stream_anyhit with the optional cluster-cull routing (see above)."""
     from bhraytracer_tpu.ops.pallas_stream import stream_anyhit
 
+    if _stream_uses_hbm(pack):
+        from bhraytracer_tpu.ops.compact import inverse_permutation
+        from bhraytracer_tpu.ops.pallas_bvh import _coherence_order
+        from bhraytracer_tpu.ops.pallas_stream_hbm import stream_anyhit_hbm
+
+        order = _coherence_order(pack, 0, o, d, t_max)
+        inv = inverse_permutation(order)
+        occ = stream_anyhit_hbm(
+            pack, o[order], d[order], t_min, t_max[order], sph_tab=sph_tab,
+            pln_tab=pln_tab, ana_bias=ana_bias,
+            plane_world_bug=plane_world_bug)
+        return occ[inv]
     if _STREAM_CULL != "on":
         return stream_anyhit(pack, o, d, t_min, t_max, sph_tab=sph_tab,
                              pln_tab=pln_tab, ana_bias=ana_bias,
@@ -143,6 +169,31 @@ def set_stream_mode(mode: str) -> None:
     _STREAM_MODE = mode
 
 
+# Grouped HBM stream for big meshes (ops/pallas_stream_hbm): "on" routes
+# reorder=True queries on meshes above the flat stream gate through the
+# group-culled HBM-streamed kernel; "off" falls back to the packet
+# kernel's treelet scan (the round-4 path, ~1000x slower on the 112K-face
+# bench leg).
+_STREAM_HBM = "on"
+
+
+def set_stream_hbm_mode(mode: str) -> None:
+    global _STREAM_HBM
+    assert mode in ("on", "off")
+    _STREAM_HBM = mode
+
+
+def _stream_uses_hbm(pack) -> bool:
+    """True when stream routing lands on the grouped HBM kernel (the flat
+    VMEM kernel keeps every scene it accepts)."""
+    if _STREAM_HBM != "on":
+        return False
+    from bhraytracer_tpu.ops.pallas_stream import stream_traversable
+    from bhraytracer_tpu.ops.pallas_stream_hbm import stream_hbm_traversable
+
+    return not stream_traversable(pack) and stream_hbm_traversable(pack)
+
+
 # Instrumentation ONLY (tools/sweep_variants.py): stub out individual
 # serialized gathers so image-level sweeps can attribute their cost.
 # Tokens: "inst" (face->instance id after each mesh trace), "rows"
@@ -169,7 +220,7 @@ def _stream_enabled(pack, reorder: bool) -> bool:
         return False
     from bhraytracer_tpu.ops.pallas_stream import stream_traversable
 
-    return stream_traversable(pack)
+    return stream_traversable(pack) or _stream_uses_hbm(pack)
 
 
 def _pallas_enabled() -> bool:
@@ -469,9 +520,11 @@ def trace_closest(pack, o, d, hit_side: str = "front",
                          and _divergent_enabled(pack, reorder))
         # Both the packet and the stream kernels fold the analytic
         # instances in-kernel (one launch, one padding layout, no XLA
-        # combine per trace).
+        # combine per trace). The packet kernel's treelet scan cannot
+        # fold; the grouped HBM stream can.
         fold_analytic = (use_pallas_bvh and not use_divergent
-                         and not pack.treelets
+                         and (not pack.treelets
+                              or (use_stream and _stream_uses_hbm(pack)))
                          and bool(pack.n_sph or pack.n_pln))
 
     if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
@@ -626,9 +679,11 @@ def trace_shadow(pack, o, d, t_max, shadow_bias: float,
         use_stream = use_pallas_bvh and _stream_enabled(pack, reorder)
         use_divergent = (use_pallas_bvh and not use_stream
                          and _divergent_enabled(pack, reorder))
-        # Packet AND stream anyhit kernels fold the analytic occluders.
+        # Packet AND stream anyhit kernels fold the analytic occluders
+        # (the packet treelet scan cannot; the grouped HBM stream can).
         fold_analytic = (use_pallas_bvh and not use_divergent
-                         and not pack.treelets
+                         and (not pack.treelets
+                              or (use_stream and _stream_uses_hbm(pack)))
                          and bool(pack.n_sph or pack.n_pln))
 
     if _pallas_enabled() and (pack.n_sph or pack.n_pln) and not fold_analytic:
